@@ -1,0 +1,79 @@
+"""Device-mesh construction and sharding helpers.
+
+This replaces the reference's process-group plumbing (Horovod ``hvd.init()``
+at ``CLIP-ViP/src/pretrain/run_pretrain.py:470``,
+``deepspeed.init_distributed()`` at ``LF-VILA/src/run_pretrain.py:120``) with
+a single `jax.sharding.Mesh`. Data parallelism is the ``data`` axis; the
+``model`` axis is available for optimizer-state sharding (the ZeRO-2
+equivalent shards along ``data``) and tensor-parallel extensions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed when running multi-host (no-op otherwise)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    mesh_shape: Sequence[int] | None = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a mesh over all (or the given) devices.
+
+    With the default 1-D shape every device is a data-parallel worker. Pass
+    ``mesh_shape=(dp, mp)`` with ``axis_names=("data", "model")`` for a 2-D
+    layout; the trailing (model) axis maps to the most-contiguous devices so
+    model collectives ride the fastest ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n,) if len(axis_names) == 1 else (n // int(np.prod([1])), 1)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh shape {tuple(mesh_shape)} does not cover {n} devices")
+    device_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(device_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> int:
+    n = mesh.shape[axis]
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {axis}={n}")
+    return global_batch // n
+
+
+def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place a host-side (numpy) batch onto the mesh, sharded on axis 0.
+
+    The device-put here is the TPU equivalent of the reference's
+    PrefetchLoader H2D copy (``CLIP-ViP/src/datasets/dataloader.py:92-157``);
+    async dispatch overlaps the transfer with the previous step's compute.
+    """
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) > 0 else x, batch
+    )
