@@ -1,0 +1,207 @@
+"""Torch-free data loading: batch iteration, multi-task mixing, device prefetch.
+
+Re-designs the reference's loader stack for a TPU host:
+
+- :class:`BatchLoader` — map-style dataset -> numpy batches with per-process
+  sharding (the ``DistributedSampler`` role) and seeded shuffling.
+- :class:`SequentialEvalLoader` — ordered, padded-to-divisible eval sharding
+  with ``valid_len`` trimming (ref ``SequentialDistributedSampler``
+  ``hd-vila/src/utils/distributed.py:206-245``; trim at
+  ``run_video_retrieval.py:152-153``).
+- :class:`MetaLoader` — ratio-weighted round-robin over named loaders; the
+  task sequence is derived from a shared seed so every process picks the
+  same task each step without a collective (the reference broadcasts the
+  choice via ``any_broadcast``, ``CLIP-ViP/src/datasets/dataloader.py:46-50``).
+- :class:`InfiniteIterator` — epoch-incrementing wrapper
+  (ref ``dataloader.py:160-177``).
+- :class:`PrefetchLoader` — background-thread host->device transfer with a
+  bounded queue, the TPU analogue of the CUDA-stream ``PrefetchLoader``
+  (ref ``dataloader.py:65-157``); `jax.device_put` overlaps with compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Mapping, Sequence
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate a map-style dataset in seeded, optionally sharded batches."""
+
+    def __init__(
+        self,
+        dataset: Sequence,
+        batch_size: int,
+        collate_fn: Callable[[list], Any],
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        # pad to a multiple of (process_count * batch) so shards stay equal
+        world_batch = self.batch_size * self.process_count
+        if self.drop_last:
+            order = order[: (n // world_batch) * world_batch]
+        else:
+            pad = (-n) % world_batch
+            order = np.concatenate([order, order[:pad]]) if pad else order
+        return order[self.process_index :: self.process_count]
+
+    def __len__(self) -> int:
+        return len(self._indices()) // self.batch_size
+
+    def __iter__(self) -> Iterator[Any]:
+        idx = self._indices()
+        for start in range(0, len(idx) - self.batch_size + 1, self.batch_size):
+            items = [self.dataset[int(i)] for i in idx[start : start + self.batch_size]]
+            yield self.collate_fn(items)
+
+
+class SequentialEvalLoader:
+    """Ordered eval loader padded to an even per-process split.
+
+    ``valid_len`` is the true dataset size: after features from all processes
+    are gathered (in rank-interleaved order), callers trim ``[:valid_len]``.
+    """
+
+    def __init__(
+        self,
+        dataset: Sequence,
+        batch_size: int,
+        collate_fn: Callable[[list], Any],
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.process_index = process_index
+        self.process_count = process_count
+        self.valid_len = len(dataset)
+
+    def __iter__(self) -> Iterator[Any]:
+        n = len(self.dataset)
+        world_batch = self.batch_size * self.process_count
+        pad = (-n) % world_batch
+        order = np.concatenate([np.arange(n), np.zeros(pad, dtype=np.int64)]) if pad else np.arange(n)
+        # batch-interleaved so global order is restored by simple concat of
+        # per-batch gathers: batch b holds items [b*WB + rank*B, ...)
+        for start in range(0, len(order), world_batch):
+            block = order[start : start + world_batch]
+            mine = block[self.process_index * self.batch_size : (self.process_index + 1) * self.batch_size]
+            yield self.collate_fn([self.dataset[int(i)] for i in mine])
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        world_batch = self.batch_size * self.process_count
+        return (n + world_batch - 1) // world_batch
+
+
+class InfiniteIterator:
+    """Restart the underlying loader forever, bumping its epoch each pass."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self.epoch = 0
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self.epoch += 1
+            if hasattr(self.loader, "set_epoch"):
+                self.loader.set_epoch(self.epoch)
+            self._it = iter(self.loader)
+            return next(self._it)
+
+
+class MetaLoader:
+    """Ratio-weighted multi-task round-robin (ref ``dataloader.py:15-62``).
+
+    ``loaders`` maps name -> (loader, ratio). The per-step task sequence is
+    drawn from a generator seeded identically on every process, so all ranks
+    train the same task each step with zero communication.
+    """
+
+    def __init__(self, loaders: Mapping[str, tuple[Any, int]], seed: int = 0):
+        if not loaders:
+            raise ValueError("empty loaders")
+        self.names: list[str] = []
+        self.iters: dict[str, InfiniteIterator] = {}
+        for name, (loader, ratio) in loaders.items():
+            self.names.extend([name] * int(ratio))
+            self.iters[name] = loader if isinstance(loader, InfiniteIterator) else InfiniteIterator(loader)
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> tuple[str, Any]:
+        task = self.names[int(self.rng.integers(0, len(self.names)))]
+        return task, next(self.iters[task])
+
+
+class PrefetchLoader:
+    """Stage batches onto devices from a background thread.
+
+    ``place_fn`` does the host->device transfer (e.g.
+    ``parallel.mesh.shard_host_batch``); a bounded queue of in-flight batches
+    overlaps upload with the previous step's compute.
+    """
+
+    def __init__(self, source: Iterable, place_fn: Callable[[Any], Any], depth: int = 2):
+        self.source = source
+        self.place_fn = place_fn
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for item in self.source:
+                    q.put(self.place_fn(item))
+            except BaseException as e:  # noqa: BLE001 - surfaced to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

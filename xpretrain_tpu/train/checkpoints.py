@@ -1,0 +1,106 @@
+"""Checkpointing: orbax-backed saves, best-model tracking, auto-resume.
+
+Capability parity with the reference's three mechanisms
+(``CLIP-ViP/src/utils/load_save.py``):
+
+- periodic model checkpoints (``ModelSaver.save`` ``:38-63``) with bounded
+  retry around storage flakiness (``:47-63``);
+- best-metric checkpoint (``BestModelSaver`` ``:65-83``);
+- preemption auto-resume of model+optimizer+step with dual-slot rotation
+  (``E2E_TrainingRestorer`` ``:260-327``) — orbax keeps the last K steps,
+  which subsumes the restore.pt/restore_backup.pt dance;
+- training-meta snapshot (args.json + code zip, ``save_training_meta``
+  ``:17-35``).
+
+No amp/loss-scale state exists on TPU (bf16), documented deviation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from xpretrain_tpu.utils.basic import make_zipfile, save_json
+from xpretrain_tpu.utils.logging import LOGGER
+
+
+class CheckpointManager:
+    """Thin orbax wrapper holding train state = {params, opt_state, step}."""
+
+    def __init__(self, directory: str, max_to_keep: int = 2, retries: int = 10):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.retries = retries
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        for attempt in range(self.retries):
+            try:
+                self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+                self._mgr.wait_until_finished()
+                return
+            except Exception as e:  # noqa: BLE001 - bounded retry like the reference
+                LOGGER.warning("checkpoint save attempt %d failed: %s", attempt, e)
+                time.sleep(min(2**attempt, 30))
+        raise RuntimeError(f"checkpoint save failed after {self.retries} retries")
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: int | None = None) -> Any:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        LOGGER.info("restored checkpoint at step %d from %s", step, self.directory)
+        return restored
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+class BestModelSaver:
+    """Keep the best-metric params (ref ``BestModelSaver`` ``:65-83``)."""
+
+    def __init__(self, directory: str):
+        self.mgr = CheckpointManager(os.path.join(directory, "best"), max_to_keep=1)
+        self.best_score = -float("inf")
+        self.best_step = -1
+
+    def maybe_save(self, step: int, score: float, params: Any) -> bool:
+        if score <= self.best_score:
+            return False
+        self.best_score = score
+        self.best_step = step
+        self.mgr.save(step, {"params": params, "score": np.float32(score)}, force=True)
+        LOGGER.info("new best score %.4f at step %d", score, step)
+        return True
+
+
+def save_training_meta(output_dir: str, config: Any, code_root: str | None = None) -> None:
+    """args.json + code.zip snapshot next to the checkpoints."""
+    log_dir = os.path.join(output_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+    save_json(cfg, os.path.join(log_dir, "args.json"), pretty=True)
+    if code_root:
+        make_zipfile(
+            code_root,
+            os.path.join(log_dir, "code.zip"),
+            enclosing_dir="code",
+            exclude_dirs=(".git", "__pycache__", ".pytest_cache", "output"),
+            exclude_extensions=(".pyc", ".ipynb", ".npy", ".pt"),
+        )
+
+
+def to_host(tree: Any) -> Any:
+    """Device -> host numpy copy of a pytree (for export paths)."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

@@ -1,0 +1,222 @@
+"""Training driver for the CLIP-ViP family: pretrain + retrieval fine-tune.
+
+The TPU-native counterpart of the reference's flat ``start_training`` loops
+(``CLIP-ViP/src/pretrain/run_pretrain.py:202-445``,
+``src/tasks/run_video_retrieval.py:205-434``): model/optimizer setup, resume,
+the jitted SPMD step, LR scheduling (inside the step), gradient accumulation
+(optax.MultiSteps), periodic validation with best-model tracking, periodic
+checkpoints, scalar logging. Step-zero validation is kept as the end-to-end
+smoke test (ref ``run_pretrain.py:321-322``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from xpretrain_tpu.models.clip_vip import (
+    CLIPTextConfig,
+    CLIPVipConfig,
+    CLIPVisionConfig,
+    CLIPViPModel,
+    VipConfig,
+)
+from xpretrain_tpu.ops.losses import build_loss_fn
+from xpretrain_tpu.optim import build_optimizer, get_schedule
+from xpretrain_tpu.parallel.mesh import create_mesh, shard_host_batch
+from xpretrain_tpu.parallel.train_step import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+    zero2_state_shardings,
+)
+from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
+from xpretrain_tpu.train.evaluate import evaluate_retrieval
+from xpretrain_tpu.utils.logging import LOGGER, RunningMeter, ScalarWriter
+
+
+def clip_vip_config_from(cfg) -> CLIPVipConfig:
+    """Build a model config from a ConfigDict-style training config."""
+    import jax.numpy as jnp
+
+    vip = cfg.get("clip_vision_additional_config", {})
+    size = cfg.get("clip_size", "base_32")
+    factory = {
+        "base_32": CLIPVipConfig.base_patch32,
+        "base_16": CLIPVipConfig.base_patch16,
+        "large_14": CLIPVipConfig.large_patch14,
+    }[size]
+    model_cfg = factory(
+        vip=VipConfig(
+            type=vip.get("type", "ViP"),
+            temporal_size=int(vip.get("temporal_size", 12)),
+            if_use_temporal_embed=bool(vip.get("if_use_temporal_embed", 1)),
+            add_cls_num=int(vip.get("add_cls_num", 3)),
+            logit_scale_init_value=float(vip.get("logit_scale_init_value", 4.60)),
+        ),
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+        remat=bool(cfg.get("gradient_checkpointing", False)),
+    )
+    return model_cfg
+
+
+class ClipVipTrainer:
+    """End-to-end CLIP-ViP training over a data mesh."""
+
+    def __init__(
+        self,
+        cfg,
+        train_loader,
+        val_loader=None,
+        val_valid_len: Optional[int] = None,
+        model_cfg: Optional[CLIPVipConfig] = None,
+        init_params: Optional[Any] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = create_mesh()
+        self.model = CLIPViPModel(model_cfg or clip_vip_config_from(cfg))
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.val_valid_len = val_valid_len
+
+        # ---- params ----
+        if init_params is None:
+            sample = next(iter(train_loader))
+            rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+            init_params = self.model.init(
+                rng,
+                jax.numpy.asarray(sample["video"][:1]),
+                jax.numpy.asarray(sample["text_input_ids"][:1]),
+                jax.numpy.asarray(sample["text_input_mask"][:1]),
+            )["params"]
+        # host copy: the train step donates its input state buffers, so the
+        # originals must not be device arrays we hand out elsewhere
+        self.init_params = jax.tree_util.tree_map(np.asarray, init_params)
+        init_params = self.init_params
+
+        # ---- optimizer ----
+        num_steps = int(cfg.get("num_train_steps", 1000))
+        schedule = get_schedule(
+            cfg.get("decay", "cosine"),
+            float(cfg.get("learning_rate", 5e-6)),
+            num_steps,
+            warmup_ratio=float(cfg.get("warmup_ratio", 0.1)),
+        )
+        self.tx, _ = build_optimizer(
+            init_params,
+            schedule,
+            weight_decay=float(cfg.get("weight_decay", 0.2)),
+            betas=tuple(cfg.get("betas", (0.9, 0.98))),
+            lr_mul=float(cfg.get("lr_mul", 1.0)),
+            lr_mul_prefix=cfg.get("lr_mul_prefix", ""),
+            max_grad_norm=float(cfg.get("grad_norm", 2.0)),
+            grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+        )
+        self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
+
+        loss_fn = build_loss_fn(cfg.get("loss_name", "NCELearnableTempLoss"))
+        opt_shardings = (
+            zero2_state_shardings(self.tx, init_params, self.mesh)
+            if cfg.get("zero2", True)
+            else None
+        )
+        self.train_step = make_train_step(
+            self._apply_train, self.tx, self.mesh, loss_fn, opt_state_shardings=opt_shardings
+        )
+        self.eval_step = make_eval_step(self._apply_eval, self.mesh)
+
+        # ---- io ----
+        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
+        self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)
+        self.best = BestModelSaver(out_dir)
+        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
+        self.meter = RunningMeter("train_loss")
+
+    # ---- model plumbing -------------------------------------------------
+
+    def _apply_train(self, params, batch, rng):
+        kwargs = {}
+        if "image" in batch:
+            kwargs = {
+                "image": batch["image"],
+                "caption_ids": batch["caption_ids"],
+                "caption_masks": batch["caption_masks"],
+            }
+        return self.model.apply(
+            {"params": params},
+            batch["video"],
+            batch["text_input_ids"],
+            batch["text_input_mask"],
+            deterministic=False,
+            rngs={"dropout": rng},
+            **kwargs,
+        )
+
+    def _apply_eval(self, params, batch, rng):
+        return self.model.apply(
+            {"params": params},
+            batch["video"],
+            batch["text_input_ids"],
+            batch["text_input_mask"],
+        )
+
+    # ---- loops ----------------------------------------------------------
+
+    def validate(self, params) -> dict:
+        if self.val_loader is None:
+            return {}
+        loader = (
+            shard_host_batch(b, self.mesh) for b in self.val_loader
+        )
+        return evaluate_retrieval(self.eval_step, params, loader, self.val_valid_len)
+
+    def train(self) -> TrainState:
+        state = TrainState.create(self.init_params, self.tx)
+        restored = self.ckpt.restore(jax.tree_util.tree_map(np.asarray, state))
+        if restored is not None:
+            state = restored
+        start_step = int(state.step)
+        rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)) + 1)
+
+        if self.cfg.get("validate_at_start", True) and self.val_loader is not None:
+            report = self.validate(state.params)
+            if report:
+                self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=start_step)
+
+        valid_every = int(self.cfg.get("valid_steps", 500))
+        save_every = int(self.cfg.get("save_steps", 500))
+        log_every = int(self.cfg.get("log_steps", 20))
+        t0 = time.time()
+        it = iter(self.train_loader)
+        for step in range(start_step, self.num_train_steps):
+            batch = next(it)
+            if isinstance(batch, tuple):  # MetaLoader yields (task, batch)
+                _task, batch = batch
+            batch = shard_host_batch(batch, self.mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, step_rng)
+            if (step + 1) % log_every == 0:
+                loss = float(metrics["loss"])
+                self.meter(loss)
+                sps = log_every / (time.time() - t0)
+                t0 = time.time()
+                LOGGER.info(
+                    "step %d/%d loss %.4f | %.2f steps/s", step + 1, self.num_train_steps, loss, sps
+                )
+                self.writer.log_scalar_dict(
+                    {"loss": loss, "steps_per_s": sps, "grad_norm": float(metrics["grad_norm"])},
+                    prefix="train",
+                    step=step + 1,
+                )
+            if (step + 1) % valid_every == 0 and self.val_loader is not None:
+                report = self.validate(state.params)
+                score = report.get("t2v", {}).get("R1", 0.0)
+                self.best.maybe_save(step + 1, score, jax.tree_util.tree_map(np.asarray, state.params))
+                self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=step + 1)
+            if (step + 1) % save_every == 0:
+                self.ckpt.save(step + 1, jax.tree_util.tree_map(np.asarray, state))
+        self.writer.flush()
+        return state
