@@ -1,0 +1,74 @@
+"""Benchmark: CLIP-ViP B/32 zero-shot retrieval forward throughput on TPU.
+
+Measures steady-state clips/sec/chip for the flagship config (12-frame 224²
+clips + 70-token captions, bf16 compute) — the BASELINE.json headline metric.
+
+``vs_baseline`` compares against an A100 fp16 estimate for the reference
+PyTorch CLIP-ViP B/32 video encoder. The reference publishes no absolute
+throughput (BASELINE.md); we use 250 clips/s/A100, derived from public ViT-B/32
+A100 inference rates (~3000 img/s fp16) scaled by the ~12× per-clip token work
+of 12-frame proxy attention. vs_baseline > 2.0 meets the BASELINE.json target
+(≥2× A100 clips/sec/chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_CLIPS_PER_S = 250.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
+
+    model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16))
+    batch, frames, image, seq = 32, 12, 224, 70
+
+    rng = jax.random.PRNGKey(0)
+    video = jnp.asarray(np.random.default_rng(0).normal(size=(batch, frames, 3, image, image)), jnp.float32)
+    ids = np.zeros((batch, seq), np.int64)
+    ids[:, 0] = 49406
+    ids[:, 1:10] = np.random.default_rng(1).integers(300, 40000, size=(batch, 9))
+    ids[:, 10] = 49407
+    ids = jnp.asarray(ids)
+    mask = (ids > 0).astype(jnp.int32)
+
+    params = model.init(rng, video[:1], ids[:1], mask[:1])
+
+    @jax.jit
+    def forward(params, video, ids, mask):
+        return model.apply(params, video, ids, mask)
+
+    # warmup/compile
+    out = forward(params, video, ids, mask)
+    jax.block_until_ready(out)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, video, ids, mask)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - start
+
+    clips_per_s = batch * iters / wall
+    print(
+        json.dumps(
+            {
+                "metric": "clipvip_b32_retrieval_clips_per_sec_per_chip",
+                "value": round(clips_per_s, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_s / A100_BASELINE_CLIPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

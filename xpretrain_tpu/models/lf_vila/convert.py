@@ -1,0 +1,147 @@
+"""LF-VILA checkpoint converters: Swin3D torch->flax + Swin2D inflation.
+
+The 3-D mapping mirrors the reference's checkpoint layout
+(``LF-VILA/src/models/video_encoder.py``); the 2-D ImageNet-Swin inflation
+re-implements ``LF-VILA/src/utils/load.py:94-240`` (layer-index remapping,
+relative-position-bias interpolation to the 3-D window, patch-embed conv
+inflation divided by temporal extent).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+from xpretrain_tpu.utils.logging import LOGGER
+
+
+def _np(value) -> np.ndarray:
+    if hasattr(value, "detach"):
+        value = value.detach().cpu().float().numpy()
+    return np.asarray(value)
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for part in path[:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = value
+
+
+def swin3d_torch_to_flax(state_dict: Mapping) -> dict:
+    """Map a SwinTransformer3D torch state_dict onto our flax tree."""
+    params: dict = {}
+    unused = []
+    for key, value in state_dict.items():
+        v = _np(value)
+        if key == "patch_embed.proj.weight":
+            _set(params, ("patch_embed", "proj", "kernel"), v.transpose(2, 3, 4, 1, 0))
+        elif key == "patch_embed.proj.bias":
+            _set(params, ("patch_embed", "proj", "bias"), v)
+        elif key == "patch_embed.norm.weight":
+            _set(params, ("patch_embed", "norm", "scale"), v)
+        elif key == "patch_embed.norm.bias":
+            _set(params, ("patch_embed", "norm", "bias"), v)
+        elif m := re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)", key):
+            i, b, rest = m.group(1), m.group(2), m.group(3)
+            base = (f"layers_{i}_blocks_{b}",)
+            _map_block_param(params, base, rest, v, unused, key)
+        elif m := re.match(r"layers\.(\d+)\.downsample\.(norm|reduction)\.(weight|bias)", key):
+            i, mod, wb = m.groups()
+            _map_merge_param(params, (f"layers_{i}_downsample",), mod, wb, v)
+        elif m := re.match(r"local_feat_proj\.(norm|reduction)\.(weight|bias)", key):
+            mod, wb = m.groups()
+            _map_merge_param(params, ("local_feat_proj",), mod, wb, v)
+        elif m := re.match(r"(norm|norm_local)\.(weight|bias)", key):
+            mod, wb = m.groups()
+            _set(params, (mod, "scale" if wb == "weight" else "bias"), v)
+        elif "relative_position_index" in key:
+            continue  # static buffer, recomputed
+        else:
+            unused.append(key)
+    if unused:
+        LOGGER.warning("swin3d converter: %d unmapped keys (first 5: %s)", len(unused), unused[:5])
+    return params
+
+
+def _map_block_param(params, base, rest, v, unused, key):
+    table = {
+        "norm1.weight": ("norm1", "scale", None),
+        "norm1.bias": ("norm1", "bias", None),
+        "norm2.weight": ("norm2", "scale", None),
+        "norm2.bias": ("norm2", "bias", None),
+        "attn.qkv.weight": ("attn", "qkv", "kernel"),
+        "attn.qkv.bias": ("attn", "qkv", "bias"),
+        "attn.proj.weight": ("attn", "proj", "kernel"),
+        "attn.proj.bias": ("attn", "proj", "bias"),
+        "attn.relative_position_bias_table": ("attn", "relative_position_bias_table", None),
+        "mlp.fc1.weight": ("mlp_fc1", "kernel", None),
+        "mlp.fc1.bias": ("mlp_fc1", "bias", None),
+        "mlp.fc2.weight": ("mlp_fc2", "kernel", None),
+        "mlp.fc2.bias": ("mlp_fc2", "bias", None),
+    }
+    if rest not in table:
+        if "relative_position_index" not in rest:
+            unused.append(key)
+        return
+    a, b, c = table[rest]
+    path = base + ((a, b) if c is None else (a, b, c))
+    if rest.endswith("weight") and ("qkv" in rest or "proj" in rest or "fc" in rest):
+        v = v.T
+    _set(params, path, v)
+
+
+def _map_merge_param(params, base, mod, wb, v):
+    if mod == "reduction":
+        _set(params, base + ("reduction", "kernel"), v.T)
+    else:
+        _set(params, base + ("norm", "scale" if wb == "weight" else "bias"), v)
+
+
+def inflate_swin2d_to_3d(
+    state_dict_2d: Mapping,
+    window3d: tuple[int, int, int],
+    temporal_patch: int = 1,
+) -> dict[str, np.ndarray]:
+    """Inflate 2-D Swin weights into the 3-D layout (torch-key space).
+
+    Re-implements the reference inflator (``load.py:94-240``):
+    - ``patch_embed.proj.weight`` [O,I,kh,kw] -> [O,I,kd,kh,kw] repeated over
+      kd and divided by kd;
+    - relative position bias tables [(2wh-1)(2ww-1), H] bicubically resized
+      to the 3-D spatial window then tiled (2wd-1)× along the temporal axis;
+    - all other keys pass through (same names in 2-D and 3-D Swin).
+    The result feeds :func:`swin3d_torch_to_flax`.
+    """
+    out: dict[str, np.ndarray] = {}
+    wd, wh, ww = window3d
+    for key, value in state_dict_2d.items():
+        v = _np(value)
+        if key == "patch_embed.proj.weight":
+            v = np.repeat(v[:, :, None], temporal_patch, axis=2) / temporal_patch
+            out[key] = v
+        elif key.endswith("relative_position_bias_table"):
+            n2d, heads = v.shape
+            side = int(round(np.sqrt(n2d)))
+            table = v.reshape(side, side, heads)
+            sh, sw = 2 * wh - 1, 2 * ww - 1
+            if (side, side) != (sh, sw):
+                try:
+                    import cv2
+
+                    table = cv2.resize(table, (sw, sh), interpolation=cv2.INTER_CUBIC)
+                    table = table.reshape(sh, sw, heads)
+                except Exception:
+                    ys = np.clip((np.arange(sh) * side / sh).astype(int), 0, side - 1)
+                    xs = np.clip((np.arange(sw) * side / sw).astype(int), 0, side - 1)
+                    table = table[ys][:, xs]
+            out[key] = np.tile(table.reshape(1, sh * sw, heads), (2 * wd - 1, 1, 1)).reshape(
+                -1, heads
+            )
+        elif "relative_position_index" in key or "attn_mask" in key:
+            continue
+        else:
+            out[key] = v
+    return out

@@ -1,0 +1,387 @@
+"""Hierarchical Temporal Window Attention (HTWA) video encoder in flax.
+
+TPU-native re-design of LF-VILA's ``SwinTransformer3D``
+(``LF-VILA/src/models/video_encoder.py:82-620``): 3-D shifted-window
+attention with relative position bias over 6 stages whose temporal windows
+grow ``[2,4,8,16,16,32]`` while spatial windows stay 3×5, spatial-only
+shifting (``temporal_no_shifting``), PatchMerging downsampling at stages
+{0,1,4}, and the **local branch** captured the first time a stage's temporal
+window exceeds ``local_window``.
+
+TPU mapping decisions:
+
+- window partition/reverse are pure reshape+transpose (free for XLA);
+  cyclic shifts are ``jnp.roll``; everything static-shaped under jit.
+- the shifted-window attention mask and relative-position index are computed
+  in **numpy at trace time** (shapes are static), so on device they are
+  constants folded into the kernel — no ``lru_cache`` machinery needed
+  (ref ``compute_mask`` ``video_encoder.py:308-321``).
+- qkv is one fused projection (matches the Swin checkpoint layout for the
+  2D->3D inflation converter).
+- window MSA batches as [B·nW, N, C] with N = wd·wh·ww ≤ 480 — sizes XLA
+  tiles well on the MXU; softmax accumulates fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Swin3DConfig:
+    patch_size: tuple = (1, 8, 8)
+    in_chans: int = 3
+    embed_dim: int = 128
+    depths: tuple = (2, 2, 14, 2, 2, 2)
+    num_heads: tuple = (4, 8, 16, 16, 16, 32)
+    stages: tuple = (0, 1, 2, 2, 2, 3)  # channel multiplier exponents
+    downsample_stages: tuple = (0, 1, 4)
+    window_size: tuple = ((2, 3, 5), (4, 3, 5), (8, 3, 5), (16, 3, 5), (16, 3, 5), (32, 3, 5))
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = False
+    local_window: int = 4
+    temporal_no_shifting: bool = True
+    # The reference resets its captured local branch every layer iteration
+    # (``video_encoder.py:598-607``: ``local_feat = None`` inside the loop),
+    # so with the default config the returned "local" features are actually
+    # the final global features and the local projection is dead code.
+    # ``faithful_local_branch=True`` reproduces that shipped behavior for
+    # checkpoint parity; False returns the genuinely captured local branch
+    # (the paper's stated design).
+    faithful_local_branch: bool = True
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** self.stages[-1])
+
+    @staticmethod
+    def tiny(**overrides) -> "Swin3DConfig":
+        base = dict(
+            embed_dim=32,
+            depths=(1, 1, 2, 1, 1, 1),
+            num_heads=(2, 2, 4, 4, 4, 4),
+            patch_size=(1, 8, 8),
+        )
+        base.update(overrides)
+        return Swin3DConfig(**base)
+
+
+def _clip_window(x_size, window, shift):
+    """Shrink window dims to the input size; zero shift on clipped dims
+    (ref ``get_window_size`` ``video_encoder.py:68-80``)."""
+    window = list(window)
+    shift = list(shift)
+    for i, (xs, ws) in enumerate(zip(x_size, window)):
+        if xs <= ws:
+            window[i] = xs
+            shift[i] = 0
+    return tuple(window), tuple(shift)
+
+
+def window_partition(x: Array, window: tuple[int, int, int]) -> Array:
+    """[B, D, H, W, C] -> [B·nW, wd·wh·ww, C]."""
+    B, D, H, W, C = x.shape
+    wd, wh, ww = window
+    x = x.reshape(B, D // wd, wd, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wd * wh * ww, C)
+
+
+def window_reverse(windows: Array, window: tuple[int, int, int], B: int, D: int, H: int, W: int) -> Array:
+    wd, wh, ww = window
+    x = windows.reshape(B, D // wd, H // wh, W // ww, wd, wh, ww, -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D, H, W, -1)
+
+
+def relative_position_index(window: tuple[int, int, int]) -> np.ndarray:
+    """Static [N, N] index into the (2wd-1)(2wh-1)(2ww-1) bias table."""
+    wd, wh, ww = window
+    coords = np.stack(np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(
+    dims: tuple[int, int, int], window: tuple[int, int, int], shift: tuple[int, int, int]
+) -> np.ndarray:
+    """Static [nW, N, N] additive mask for SW-MSA (ref ``compute_mask``)."""
+    D, H, W = dims
+    img = np.zeros((1, D, H, W, 1), np.float32)
+    cnt = 0
+    for d in (slice(-window[0]), slice(-window[0], -shift[0] or None), slice(-shift[0] or D, None)):
+        for h in (slice(-window[1]), slice(-window[1], -shift[1] or None), slice(-shift[1] or H, None)):
+            for w in (slice(-window[2]), slice(-window[2], -shift[2] or None), slice(-shift[2] or W, None)):
+                img[:, d, h, w, :] = cnt
+                cnt += 1
+    wd, wh, ww = window
+    x = img.reshape(1, D // wd, wd, H // wh, wh, W // ww, ww, 1)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww)
+    diff = x[:, None, :] - x[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention3D(nn.Module):
+    """W-MSA over flattened windows with relative position bias
+    (ref ``video_encoder.py:82-164``; bias table truncated to the first N
+    rows when the window is clipped, matching ``:147``)."""
+
+    dim: int
+    window: tuple[int, int, int]  # the FULL (unclipped) window, sizing the table
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # [B·nW, N, C]; N may be smaller than the full window size
+        mask: Optional[np.ndarray] = None,  # [nW, N, N] static
+        deterministic: bool = True,
+    ) -> Array:
+        Bn, N, C = x.shape
+        h = self.num_heads
+        d = C // h
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (table_size, h),
+            jnp.float32,
+        )
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, h, N, d]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d**-0.5)
+        rel_idx = relative_position_index(self.window)[:N, :N]
+        bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        scores = scores + bias[None].astype(scores.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            scores = scores.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+            scores = scores.reshape(Bn, h, N, N)
+        weights = jax.nn.softmax(scores, axis=-1)
+        weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class DropPath(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class SwinBlock3D(nn.Module):
+    """W-MSA/SW-MSA block (ref ``SwinTransformerBlock3D`` ``:166-268``)."""
+
+    dim: int
+    num_heads: int
+    window: tuple[int, int, int]
+    shift: tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        B, D, H, W, C = x.shape
+        window, shift = _clip_window((D, H, W), self.window, self.shift)
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        pad_d = (-D) % window[0]
+        pad_h = (-H) % window[1]
+        pad_w = (-W) % window[2]
+        if pad_d or pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+            mask = shifted_window_mask((Dp, Hp, Wp), window, shift)
+        else:
+            mask = None
+
+        windows = window_partition(x, window)
+        attn = WindowAttention3D(
+            self.dim,
+            self.window,
+            self.num_heads,
+            self.qkv_bias,
+            self.attn_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(windows, mask, deterministic)
+        x = window_reverse(attn, window, B, Dp, Hp, Wp)
+
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            x = x[:, :D, :H, :W]
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2×2 spatial merge, channels ×2 (ref ``:270-305``)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, D, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv3D video patchify (ref ``:409-448``)."""
+
+    patch_size: tuple
+    embed_dim: int
+    patch_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: [B, C, D, H, W] -> NDHWC for flax Conv
+        x = x.transpose(0, 2, 3, 4, 1)
+        pd, ph, pw = self.patch_size
+        B, D, H, W, C = x.shape
+        pad = ((0, 0), (0, (-D) % pd), (0, (-H) % ph), (0, (-W) % pw), (0, 0))
+        if any(p[1] for p in pad):
+            x = jnp.pad(x, pad)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=self.patch_size,
+            strides=self.patch_size,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x  # [B, D', H', W', C]
+
+
+class SwinTransformer3D(nn.Module):
+    """The full HTWA encoder with local-branch capture (ref ``:450-620``).
+
+    ``__call__`` returns ``(global_feat [B,D,H,W,C], local_feat)`` where the
+    local branch is the PatchMerging-projected feature map captured when the
+    temporal window first exceeds ``local_window``.
+    """
+
+    config: Swin3DConfig
+
+    @nn.compact
+    def __call__(
+        self, x: Array, only_local: bool = False, deterministic: bool = True
+    ) -> tuple[Array, Array] | Array:
+        cfg = self.config
+        x = PatchEmbed3D(
+            cfg.patch_size, cfg.embed_dim, cfg.patch_norm, dtype=cfg.dtype, name="patch_embed"
+        )(x)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        total_depth = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
+        block_idx = 0
+        local_feat = None
+        block_cls = nn.remat(SwinBlock3D, static_argnums=(2,)) if cfg.remat else SwinBlock3D
+
+        for i_layer in range(len(cfg.depths)):
+            window = tuple(cfg.window_size[i_layer])
+            if window[0] > cfg.local_window and local_feat is None:
+                lf = PatchMerging(
+                    int(cfg.embed_dim * 2**2), dtype=cfg.dtype, name="local_feat_proj"
+                )(x)
+                local_feat = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm_local")(lf)
+                if only_local:
+                    return local_feat
+            dim = int(cfg.embed_dim * 2 ** cfg.stages[i_layer])
+            shift = [w // 2 for w in window]
+            if cfg.temporal_no_shifting:
+                shift[0] = 0
+            for b in range(cfg.depths[i_layer]):
+                blk_shift = (0, 0, 0) if b % 2 == 0 else tuple(shift)
+                x = block_cls(
+                    dim,
+                    cfg.num_heads[i_layer],
+                    window,
+                    blk_shift,
+                    cfg.mlp_ratio,
+                    cfg.qkv_bias,
+                    cfg.drop_rate,
+                    cfg.attn_drop_rate,
+                    float(dpr[block_idx]),
+                    dtype=cfg.dtype,
+                    name=f"layers_{i_layer}_blocks_{b}",
+                )(x, deterministic)
+                block_idx += 1
+            if i_layer in cfg.downsample_stages:
+                x = PatchMerging(dim, dtype=cfg.dtype, name=f"layers_{i_layer}_downsample")(x)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm")(x)
+        if cfg.faithful_local_branch:
+            # match the reference's shipped semantics: unless the capture
+            # happened on the very last layer, the local output is the
+            # global output (see Swin3DConfig.faithful_local_branch)
+            last_window = tuple(cfg.window_size[len(cfg.depths) - 1])
+            captured_on_last = (
+                local_feat is not None
+                and last_window[0] > cfg.local_window
+                and all(tuple(cfg.window_size[i])[0] <= cfg.local_window for i in range(len(cfg.depths) - 1))
+            )
+            if not captured_on_last:
+                local_feat = x
+        elif local_feat is None:
+            local_feat = x
+        return x, local_feat
