@@ -46,18 +46,26 @@ def main() -> None:
     def forward(params, video, ids, mask):
         return model.apply(params, video, ids, mask)
 
-    # warmup/compile
-    out = forward(params, video, ids, mask)
-    jax.block_until_ready(out)
-
-    iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
+    def run_once():
         out = forward(params, video, ids, mask)
-    jax.block_until_ready(out)
-    wall = time.perf_counter() - start
+        # fetch a scalar to the host: the only sync the axon tunnel can't
+        # satisfy without the program actually having run
+        return float(np.asarray(out["vis_features"])[0, 0])
 
-    clips_per_s = batch * iters / wall
+    # warmup/compile (first call over the device tunnel can be very slow)
+    for _ in range(3):
+        run_once()
+
+    # per-iteration host-fetch sync + median of many: robust against
+    # async-dispatch artifacts
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    step_time = sorted(times)[len(times) // 2]
+
+    clips_per_s = batch / step_time
     print(
         json.dumps(
             {

@@ -1,0 +1,146 @@
+"""LF-VILA pretrain model + MTC loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
+from xpretrain_tpu.ops.losses import mtc_loss
+
+
+def _np_xent_ignore(logits, labels):
+    logits = np.asarray(logits, dtype=np.float64)
+    labels = np.asarray(labels)
+    valid = labels != -100
+    if valid.sum() == 0:
+        return 0.0
+    z = logits - logits.max(axis=-1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+    return float(-logp[valid, labels[valid]].sum() / valid.sum())
+
+
+def test_mtc_loss_against_numpy_with_forced_indices():
+    b, m, c = 4, 6, 8
+    rng = np.random.default_rng(0)
+    vid = rng.normal(size=(b, m, c)).astype(np.float32)
+    txt = rng.normal(size=(b, m, c)).astype(np.float32)
+    vid /= np.linalg.norm(vid, axis=-1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+    key_idx = np.array([[0, 3], [1, 4], [2, 5], [0, 5]])
+    value_idx = np.array([[1, 2], [0, 5], [1, 3], [2, 4]])
+    other_idx = np.array([2, 0, 4, 1])
+    temp, n_other = 0.05, 3
+
+    got = float(
+        mtc_loss(
+            jnp.asarray(vid),
+            jnp.asarray(txt),
+            jax.random.PRNGKey(0),
+            num_key=2,
+            num_value=2,
+            num_other_neg=n_other,
+            temp=temp,
+            indices=(jnp.asarray(key_idx), jnp.asarray(value_idx), jnp.asarray(other_idx)),
+        )
+    )
+
+    # numpy recomputation of the reference algorithm
+    def gather(f, idx):
+        return np.stack([f[i, idx[i]] for i in range(b)])
+
+    def build_values(f_value, f_all):
+        other = np.stack([f_all[i, other_idx[i]] for i in range(b)])
+        negs = np.stack([np.roll(other, x, axis=0) for x in range(n_other)], axis=1)
+        return np.concatenate([f_value, negs], axis=1)
+
+    text_key, video_key = gather(txt, key_idx), gather(vid, key_idx)
+    video_value = build_values(gather(vid, value_idx), vid)
+    text_value = build_values(gather(txt, value_idx), txt)
+    sim_t2v = np.einsum("bkc,bvc->bkv", text_key, video_value).reshape(b * 2, -1) / temp
+    sim_v2t = np.einsum("bkc,bvc->bkv", video_key, text_value).reshape(b * 2, -1) / temp
+    minus = np.abs(value_idx[:, None, :] - key_idx[:, :, None])
+    labels = minus.argmin(-1).reshape(-1)
+    ties = (minus[:, :, 0] == minus[:, :, -1]).reshape(-1)
+    labels[ties] = -100
+    want = _np_xent_ignore(sim_t2v, labels) + _np_xent_ignore(sim_v2t, labels)
+    assert np.isclose(got, want, rtol=1e-5)
+
+
+def test_mtc_tie_masking():
+    """Keys equidistant from both values must be label-masked."""
+    b, m, c = 1, 5, 4
+    vid = np.eye(m, c, dtype=np.float32)[None].repeat(b, 0)
+    txt = vid.copy()
+    # key=2, values (1,3): |1-2| == |3-2| -> tie -> masked -> loss 0
+    key_idx = np.array([[2, 2]])
+    value_idx = np.array([[1, 3]])
+    other_idx = np.array([0])
+    val = float(
+        mtc_loss(
+            jnp.asarray(vid), jnp.asarray(txt), jax.random.PRNGKey(0),
+            num_key=2, num_value=2, num_other_neg=0, temp=1.0,
+            indices=(jnp.asarray(key_idx), jnp.asarray(value_idx), jnp.asarray(other_idx)),
+        )
+    )
+    assert val == 0.0
+
+
+@pytest.fixture(scope="module")
+def tiny_lfvila_inputs():
+    rng = np.random.default_rng(0)
+    B, M, L = 4, 4, 12
+    # spatial dims chosen so the final Swin map stays >= the (2,3) pool window:
+    # 96x160 /8 -> 12x20, merges at stages 0,1,4 -> 2x3 -> pool -> 1 patch
+    video = rng.normal(size=(B, 3, 8, 96, 160)).astype(np.float32)
+    ids = rng.integers(2, 1000, size=(B, M, L))
+    mask = np.ones((B, M, L), np.int64)
+    mlm_labels = np.full((B, M * L), -100, np.int64)
+    mlm_labels[:, 3] = 7
+    return video, ids, mask, mlm_labels
+
+
+def test_lfvila_stage1_forward(tiny_lfvila_inputs):
+    video, ids, mask, _ = tiny_lfvila_inputs
+    cfg = LfVilaConfig.tiny(stage=1, sample_clip=4, sample_frame=8)
+    model = LfVilaPretrain(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(video), jnp.asarray(ids), jnp.asarray(mask),
+        mtc_rng=jax.random.PRNGKey(1),
+    )
+    out = model.apply(
+        params, jnp.asarray(video), jnp.asarray(ids), jnp.asarray(mask),
+        mtc_rng=jax.random.PRNGKey(1),
+    )
+    B = video.shape[0]
+    assert out["video_global_feat"].shape == (B, cfg.bert.hidden_size)
+    assert out["text_global_feat"].shape == (B, cfg.bert.hidden_size)
+    assert out["video_local_feat"].shape == (B, 4, cfg.bert.hidden_size)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["video_global_feat"]), axis=-1), 1.0, rtol=1e-5
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["ct_time_loss"]) > 0
+
+
+def test_lfvila_stage2_forward_and_grads(tiny_lfvila_inputs):
+    video, ids, mask, mlm_labels = tiny_lfvila_inputs
+    cfg = LfVilaConfig.tiny(stage=2, sample_clip=4, sample_frame=8, final_num_patches=1)
+    model = LfVilaPretrain(cfg)
+    args = (jnp.asarray(video), jnp.asarray(ids), jnp.asarray(mask))
+    params = model.init(jax.random.PRNGKey(0), *args, mlm_labels=jnp.asarray(mlm_labels))
+    out = model.apply(params, *args, mlm_labels=jnp.asarray(mlm_labels))
+    assert np.isfinite(float(out["mlm_loss"]))
+    assert np.isfinite(float(out["vtm_loss"]))
+    assert 0.0 <= float(out["vtm_acc"]) <= 1.0
+
+    def loss_fn(p):
+        o = model.apply(p, *args, mlm_labels=jnp.asarray(mlm_labels))
+        return o["loss"]
+
+    grads = jax.grad(lambda p: loss_fn(p))(params)["params"]
+    gnorm = np.sqrt(
+        sum(float(jnp.sum(g.astype(jnp.float32) ** 2)) for g in jax.tree_util.tree_leaves(grads))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0

@@ -245,6 +245,77 @@ def label_smoothing_xent(logits: Array, labels: Array, smoothing: float = 0.1) -
     return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
 
 
+def _masked_xent_flat(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
+    """Mean CE over rows whose label != ignore_index (torch CrossEntropyLoss)."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+    per = jnp.where(valid, logz - gold, 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def mtc_loss(
+    video_local_feat: Array,  # [B, M, C], L2-normalized clip-level features
+    text_local_feat: Array,  # [B, M, C]
+    rng: Array,
+    num_key: int = 2,
+    num_value: int = 2,
+    num_other_neg: int = 3,
+    temp: float = 0.05,
+    indices: tuple | None = None,  # optional (key_idx, value_idx, other_idx) override
+) -> Array:
+    """Multimodal Temporal Contrastive loss (LF-VILA's ``ct_time_loss``,
+    ref ``LF-VILA/src/models/lfvila_pretrain.py:111-151``).
+
+    Random key clips from one modality are matched against random value clips
+    of the other; the label is the temporally nearest value clip, exact
+    first-vs-last ties are masked with -100, and ``num_other_neg`` rolled
+    cross-batch clips extend the negative pool (including, faithfully, the
+    un-rolled sample itself at shift 0).
+    """
+    b, m, _ = video_local_feat.shape
+    k_key, k_value, k_other = jax.random.split(rng, 3)
+
+    def perms(key, count):
+        return jax.vmap(lambda kk: jax.random.permutation(kk, m))(jax.random.split(key, b))[
+            :, :count
+        ]
+
+    if indices is not None:
+        key_idx, value_idx, forced_other = indices
+    else:
+        key_idx = perms(k_key, num_key)  # [B, nk]
+        value_idx = perms(k_value, num_value)  # [B, nv]
+        forced_other = None
+
+    gather = lambda feats, idx: jnp.take_along_axis(feats, idx[..., None], axis=1)
+    text_key = gather(text_local_feat, key_idx)
+    video_value = gather(video_local_feat, value_idx)
+    video_key = gather(video_local_feat, key_idx)
+    text_value = gather(text_local_feat, value_idx)
+
+    if num_other_neg > 0:
+        other_idx = forced_other if forced_other is not None else perms(k_other, 1)[:, 0]  # [B]
+        vid_other = jnp.take_along_axis(video_local_feat, other_idx[:, None, None], axis=1)[:, 0]
+        txt_other = jnp.take_along_axis(text_local_feat, other_idx[:, None, None], axis=1)[:, 0]
+        vid_neg = jnp.stack([jnp.roll(vid_other, x, axis=0) for x in range(num_other_neg)], axis=1)
+        txt_neg = jnp.stack([jnp.roll(txt_other, x, axis=0) for x in range(num_other_neg)], axis=1)
+        video_value = jnp.concatenate([video_value, vid_neg], axis=1)
+        text_value = jnp.concatenate([text_value, txt_neg], axis=1)
+
+    sim_t2v = jnp.einsum("bkc,bvc->bkv", text_key, video_value).reshape(b * num_key, -1) / temp
+    sim_v2t = jnp.einsum("bkc,bvc->bkv", video_key, text_value).reshape(b * num_key, -1) / temp
+
+    minus = jnp.abs(value_idx[:, None, :] - key_idx[:, :, None])  # [B, nk, nv]
+    labels = jnp.argmin(minus, axis=-1).reshape(-1)
+    ties = (minus[:, :, 0] == minus[:, :, -1]).reshape(-1)
+    labels = jnp.where(ties, -100, labels)
+
+    return _masked_xent_flat(sim_t2v, labels) + _masked_xent_flat(sim_v2t, labels)
+
+
 # ---------------------------------------------------------------------------
 # Registry — reference class names map to (fn, signature kind)
 # ---------------------------------------------------------------------------
