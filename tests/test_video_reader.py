@@ -1,0 +1,62 @@
+"""Native libav video reader tests (synthetic videos written with cv2)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from xpretrain_tpu.data import video_reader  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    """Write a 60-frame video whose frames encode their index in color."""
+    path = str(tmp_path_factory.mktemp("vids") / "clip.avi")
+    w, h, n = 64, 48, 60
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h))
+    assert writer.isOpened(), "cv2 has no usable encoder in this image"
+    for i in range(n):
+        frame = np.full((h, w, 3), 0, np.uint8)
+        frame[:, :, 0] = i * 4  # blue channel encodes frame index
+        writer.write(frame)
+    writer.release()
+    return path, n, (h, w)
+
+
+def test_probe(test_video):
+    path, n, (h, w) = test_video
+    info = video_reader.probe(path)
+    assert info.num_frames == n
+    assert (info.height, info.width) == (h, w)
+    assert abs(info.fps - 10.0) < 0.1
+
+
+def test_native_lib_is_built():
+    assert video_reader.native_available(), "native/build/libxvr.so missing — run make -C native"
+
+
+def test_read_frames_identity(test_video):
+    path, n, (h, w) = test_video
+    idx = np.array([0, 7, 23, 59, 23])
+    frames = video_reader.read_frames(path, idx)
+    assert frames.shape == (5, h, w, 3)
+    # blue channel (RGB index 2) should encode ~i*4 (MJPG is lossy)
+    for k, i in enumerate(idx):
+        got = float(frames[k, :, :, 2].mean())
+        assert abs(got - i * 4) < 10, f"frame {i}: expected ~{i*4} got {got}"
+
+
+def test_read_frames_resized(test_video):
+    path, n, _ = test_video
+    frames = video_reader.read_frames(path, np.array([5, 10]), out_hw=(24, 32))
+    assert frames.shape == (2, 24, 32, 3)
+
+
+def test_unsorted_indices_restore_order(test_video):
+    path, *_ = test_video
+    idx = np.array([30, 2, 45])
+    frames = video_reader.read_frames(path, idx)
+    blues = frames[:, :, :, 2].mean(axis=(1, 2))
+    assert abs(blues[0] - 120) < 10
+    assert abs(blues[1] - 8) < 10
+    assert abs(blues[2] - 180) < 10
