@@ -219,7 +219,9 @@ class LfVilaPretrain(nn.Module):
         text_stream = self.sent_embedding(
             text_local_embd.reshape(B, M * L, -1), seg_ids, deterministic
         )
-        text_local_cls = text_local_embd[:, :, 0, :].mean(axis=1)  # [B, C]
+        # mean of per-sentence CLS positions AFTER sentence embeddings
+        # (ref lfvila_pretrain.py:203-205 reassigns before taking the mean)
+        text_local_cls = text_stream.reshape(B, M, L, -1)[:, :, 0, :].mean(axis=1)  # [B, C]
         text_global_embd = jnp.concatenate([text_local_cls[:, None], text_stream], axis=1)
         global_mask = jnp.concatenate(
             [jnp.ones((B, 1), attention_mask.dtype), attention_mask.reshape(B, M * L)], axis=1

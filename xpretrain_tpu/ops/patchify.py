@@ -1,0 +1,144 @@
+"""Fused device-side ingest: uint8 frames -> normalized patch embeddings.
+
+The BASELINE.json north-star ingest op. The host uploads raw ``uint8``
+frames (4x less tunnel/PCIe bandwidth than fp32) and the device runs ONE
+fused op instead of the reference's host-side chain (to-float /255,
+mean/std normalize, NCHW permute, then conv patchify —
+``CLIP-ViP/src/datasets/dataloader.py:180-260`` + ``CLIP_ViP.py:178``):
+
+    patches = reshape(u8)  ->  (x/255 - mean)/std  ->  @ W_patch  + pos
+
+Because patchify with stride == kernel is a pure reshape + matmul, the
+whole pipeline is one MXU gemm with the normalization folded into it
+algebraically:   ((x/255 - mean)/std) @ W  ==  x @ (W/(255*std)) - const.
+``fold_normalization`` precomputes the folded weight and bias once per
+model; the Pallas kernel then streams uint8 from HBM, converts in VMEM and
+hits the MXU — no normalized-frame round trip through HBM at all.
+
+``fused_patch_embed`` is the public entry; ``use_pallas=False`` (or
+non-TPU backends) takes the identical-math XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def fold_normalization(
+    patch_kernel: Array,  # [P, P, 3, D] flax conv kernel
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> tuple[Array, Array]:
+    """Fold /255 + mean/std normalization into the patch-embedding weights.
+
+    Returns (folded_weight [P*P*3, D], bias [D]) such that
+    ``u8_patches @ folded_weight + bias == normalize(u8) @ patch_weight``.
+    """
+    P = patch_kernel.shape[0]
+    D = patch_kernel.shape[-1]
+    w = patch_kernel.astype(jnp.float32)  # [P, P, 3, D]
+    scale = (1.0 / (255.0 * np.asarray(std, np.float32))).reshape(1, 1, 3, 1)
+    offset = (np.asarray(mean, np.float32) / np.asarray(std, np.float32)).reshape(1, 1, 3, 1)
+    folded = (w * scale).reshape(P * P * 3, D)
+    bias = -(w * offset).sum(axis=(0, 1, 2))
+    return folded, bias
+
+
+def extract_patches_u8(frames: Array, patch: int) -> Array:
+    """uint8 [N, H, W, 3] -> [N, L, patch*patch*3] (channel-last within patch).
+
+    Flattening must match ``fold_normalization``'s [P, P, 3, D] layout.
+    """
+    N, H, W, C = frames.shape
+    gh, gw = H // patch, W // patch
+    x = frames.reshape(N, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [N, gh, gw, P, P, C]
+    return x.reshape(N, gh * gw, patch * patch * C)
+
+
+def _xla_patch_embed(frames: Array, folded_w: Array, bias: Array, patch: int, out_dtype) -> Array:
+    patches = extract_patches_u8(frames, patch).astype(jnp.float32)
+    out = (
+        jax.lax.dot_general(
+            patches,
+            folded_w,
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )
+    return out.astype(out_dtype)
+
+
+def _pallas_patch_embed(frames: Array, folded_w: Array, bias: Array, patch: int, out_dtype, interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, W, C = frames.shape
+    L = (H // patch) * (W // patch)
+    K = patch * patch * C
+    D = folded_w.shape[1]
+
+    patches = extract_patches_u8(frames, patch)  # [N, L, K] uint8 view (XLA reshape)
+
+    def kernel(p_ref, w_ref, b_ref, o_ref):
+        x = p_ref[...].astype(jnp.float32)  # [L, K] one frame's patches in VMEM
+        w = w_ref[...]
+        acc = jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, L, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), out_dtype),
+        interpret=interpret,
+    )(patches, folded_w, bias)
+
+
+def fused_patch_embed(
+    frames_u8: Array,  # [N, H, W, 3] uint8
+    patch_kernel: Array,  # [P, P, 3, D]
+    mean: np.ndarray,
+    std: np.ndarray,
+    out_dtype=jnp.float32,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Array:
+    """-> [N, L, D] patch embeddings with normalization folded in."""
+    patch = patch_kernel.shape[0]
+    folded_w, bias = fold_normalization(patch_kernel, mean, std)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            return _pallas_patch_embed(frames_u8, folded_w, bias, patch, out_dtype, interpret)
+        except Exception:  # pragma: no cover - fallback on unsupported backends
+            pass
+    return _xla_patch_embed(frames_u8, folded_w, bias, patch, out_dtype)
+
+
+def normalize_u8(
+    frames_u8: Array,  # [..., H, W, 3]
+    mean: np.ndarray,
+    std: np.ndarray,
+    out_dtype=jnp.float32,
+) -> Array:
+    """Plain on-device normalize for models without a patchify front end
+    (HD-VILA's ResNet path): [..., H, W, 3] u8 -> [..., 3, H, W]."""
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return jnp.moveaxis(x, -1, -3).astype(out_dtype)
