@@ -77,6 +77,46 @@ def test_fold_normalization_algebra():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_clipvip_u8_path_matches_float_path():
+    """Model fed raw uint8 must equal model fed host-normalized fp32."""
+    import jax
+
+    from xpretrain_tpu.data.transforms import clip_transform
+    from xpretrain_tpu.models.clip_vip import (
+        CLIPTextConfig,
+        CLIPVipConfig,
+        CLIPVisionConfig,
+        CLIPViPModel,
+        VipConfig,
+    )
+
+    cfg = CLIPVipConfig(
+        text=CLIPTextConfig(
+            vocab_size=500, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, max_position_embeddings=8,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=4, image_size=32, patch_size=16,
+        ),
+        vip=VipConfig(temporal_size=2, add_cls_num=1),
+        projection_dim=16,
+    )
+    model = CLIPViPModel(cfg)
+    rng = np.random.default_rng(5)
+    frames_u8 = rng.integers(0, 256, size=(2, 2, 32, 32, 3), dtype=np.uint8)
+    # host-side normalize (frames [T,H,W,C] per sample)
+    frames_f32 = np.stack([clip_transform(f, 32) for f in frames_u8])
+    ids = jnp.asarray([[499, 3, 4, 499, 0, 0, 0, 0]] * 2)
+    mask = (ids > 0).astype(jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(frames_f32), ids, mask)
+    out_f = model.apply(params, jnp.asarray(frames_f32), ids, mask)
+    out_u8 = model.apply(params, jnp.asarray(frames_u8), ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_u8["vis_features"]), np.asarray(out_f["vis_features"]), atol=2e-5
+    )
+
+
 def test_normalize_u8():
     frames = np.full((2, 8, 8, 3), 128, np.uint8)
     out = np.asarray(normalize_u8(jnp.asarray(frames), CLIP_MEAN, CLIP_STD))

@@ -192,9 +192,63 @@ class ProxyAttention(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class PatchEmbedding(nn.Module):
+    """Patchify-as-matmul: stride==kernel conv is a reshape + one MXU gemm.
+
+    Holds the conv-layout kernel [P, P, 3, D] (converter-compatible) and
+    supports two input paths:
+
+    - fp32 NCHW frames (already normalized host-side);
+    - raw uint8 NHWC frames with the /255+mean/std normalization folded
+      into the weights (``ops.patchify.fold_normalization``) — the fused
+      ingest path, 4x less host->device bandwidth.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: Array, mean=None, std=None) -> Array:
+        from xpretrain_tpu.ops.patchify import extract_patches_u8, fold_normalization
+
+        P = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (P, P, 3, self.embed_dim),
+            jnp.float32,
+        )
+        if frames.dtype == jnp.uint8:
+            folded_w, bias = fold_normalization(kernel, mean, std)
+            patches = extract_patches_u8(frames, P).astype(self.dtype)
+            return (
+                jax.lax.dot_general(
+                    patches,
+                    folded_w.astype(self.dtype),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+                + bias.astype(self.dtype)
+            )
+        # fp32 NCHW path
+        x = frames.transpose(0, 2, 3, 1)  # -> NHWC
+        N, H, W, C = x.shape
+        gh, gw = H // P, W // P
+        x = x.reshape(N, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5).reshape(N, gh * gw, P * P * C)
+        w = kernel.reshape(P * P * 3, self.embed_dim)
+        return jax.lax.dot_general(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+
 class VipVisionEmbeddings(nn.Module):
     """Video patchify + temporal/spatial embeds + proxy tokens
-    (ref ``CLIP_ViP.py:142-197``)."""
+    (ref ``CLIP_ViP.py:142-197``). Accepts fp32 [B,T,C,H,W] (pre-normalized)
+    or raw uint8 [B,T,H,W,3] via the fused ingest path."""
 
     config: CLIPVisionConfig
     vip: VipConfig
@@ -203,7 +257,10 @@ class VipVisionEmbeddings(nn.Module):
     @nn.compact
     def __call__(self, pixel_values: Array) -> tuple[Array, tuple[int, int, int]]:
         cfg = self.config
-        B, T, C, Hh, Ww = pixel_values.shape
+        if pixel_values.dtype == jnp.uint8:
+            B, T, Hh, Ww, C = pixel_values.shape
+        else:
+            B, T, C, Hh, Ww = pixel_values.shape
         embed_dim = cfg.hidden_size
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
 
@@ -227,17 +284,19 @@ class VipVisionEmbeddings(nn.Module):
             jnp.float32,
         )
 
-        # per-frame conv patch embed; NCHW -> NHWC for flax Conv
-        x = pixel_values.reshape(B * T, C, Hh, Ww).transpose(0, 2, 3, 1)
-        patches = nn.Conv(
-            embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            name="patch_embedding",
-        )(x)
-        L = patches.shape[1] * patches.shape[2]
+        # per-frame patchify as one gemm (stride == kernel conv)
+        embedder = PatchEmbedding(
+            cfg.patch_size, embed_dim, dtype=self.dtype, name="patch_embedding"
+        )
+        if pixel_values.dtype == jnp.uint8:
+            from xpretrain_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+            patches = embedder(
+                pixel_values.reshape(B * T, Hh, Ww, C), mean=CLIP_MEAN, std=CLIP_STD
+            )
+        else:
+            patches = embedder(pixel_values.reshape(B * T, C, Hh, Ww))
+        L = patches.shape[1]
         patches = patches.reshape(B, T, L, embed_dim)
 
         if self.vip.if_use_temporal_embed:
