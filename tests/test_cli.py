@@ -1,0 +1,44 @@
+"""CLI runners smoke-tested end-to-end with synthetic data on the CPU mesh."""
+
+import numpy as np
+
+
+def test_retrieval_cli_eval_mode(tmp_path):
+    from xpretrain_tpu.cli import run_retrieval_clipvip
+
+    report = run_retrieval_clipvip.main(
+        [
+            "--mode", "eval",
+            "--dummy_data", "1",
+            "--num_frm", "2",
+            "--crop_img_size", "32",
+            "--max_txt_len", "12",
+            "--val_batch_size", "8",
+            "--train_batch_size", "8",
+            "--num_train_steps", "1",
+            "--output_dir", str(tmp_path),
+            "--clip_size", "tiny",
+            "--validate_at_start", "0",
+        ]
+    )
+    assert "t2v" in report
+    assert 0 <= report["t2v"]["R1"] <= 100
+    assert (tmp_path / "eval_report.json").exists()
+    assert (tmp_path / "log" / "args.json").exists()
+
+
+def test_config_preset_merge(tmp_path):
+    from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
+
+    parser = build_shared_parser()
+    cfg = parse_args(
+        parser,
+        [
+            "--config", "xpretrain_tpu/configs/presets/msrvtt_retrieval_vip_base_32.json",
+            "--learning_rate", "5e-5",  # explicit CLI wins
+        ],
+    )
+    assert cfg.loss_name == "NCELearnableTempLoss"  # from file
+    assert cfg.learning_rate == 5e-5  # CLI override
+    assert cfg.num_frm == 12
+    assert cfg.clip_vision_additional_config.add_cls_num == 3

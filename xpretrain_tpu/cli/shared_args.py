@@ -1,0 +1,82 @@
+"""Shared CLI flag surface for all runners.
+
+Mirrors the reference's ``SharedConfigs`` argparse block
+(``CLIP-ViP/src/configs/config.py:33-254``) with the "explicit CLI flag wins
+over --config JSON" merge semantics and 0/1->bool coercion; fp16/amp flags
+become bf16 (documented deviation: TPU needs no loss scaler)."""
+
+from __future__ import annotations
+
+import argparse
+
+from xpretrain_tpu.config import ConfigDict, parse_with_config
+
+
+def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--config", type=str, default=None, help="JSON/YAML config path")
+    p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--data_mount_dir", type=str, default="", help="re-root data paths here")
+
+    # data
+    p.add_argument("--train_annotation", type=str, default="")
+    p.add_argument("--val_annotation", type=str, default="")
+    p.add_argument("--video_root", type=str, default="")
+    p.add_argument("--dummy_data", type=int, default=0, help="synthetic ingest path")
+    p.add_argument("--num_frm", type=int, default=12)
+    p.add_argument("--sample_rate", type=int, default=0)
+    p.add_argument("--crop_img_size", type=int, default=224)
+    p.add_argument("--max_txt_len", type=int, default=70)
+    p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--val_batch_size", type=int, default=32)
+    p.add_argument("--tokenizer", type=str, default="hash", help="hash|clip_bpe|wordpiece")
+    p.add_argument("--tokenizer_vocab", type=str, default="")
+    p.add_argument("--tokenizer_merges", type=str, default="")
+
+    # optimization
+    p.add_argument("--learning_rate", type=float, default=5e-6)
+    p.add_argument("--weight_decay", type=float, default=0.2)
+    p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.98])
+    p.add_argument("--decay", type=str, default="cosine",
+                   choices=["linear", "cosine", "invsqrt", "constant", "multi_step"])
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--grad_norm", type=float, default=2.0)
+    p.add_argument("--num_train_steps", type=int, default=1000)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--lr_mul", type=float, default=1.0)
+    p.add_argument("--lr_mul_prefix", type=str, default="")
+    p.add_argument("--loss_name", type=str, default="NCELearnableTempLoss")
+    p.add_argument("--if_gather", type=int, default=1,
+                   help="global contrastive batch (always on under pjit; kept for config compat)")
+
+    # precision / memory
+    p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", type=int, default=0)
+    p.add_argument("--zero2", type=int, default=1, help="shard optimizer state over the mesh")
+
+    # cadence
+    p.add_argument("--log_steps", type=int, default=20)
+    p.add_argument("--valid_steps", type=int, default=500)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--validate_at_start", type=int, default=1)
+
+    # model
+    p.add_argument("--clip_size", type=str, default="base_32",
+                   choices=["base_32", "base_16", "large_14", "tiny"])
+    p.add_argument("--clip_weights", type=str, default="",
+                   help="path to a torch CLIP / CLIP-ViP checkpoint to convert")
+    p.add_argument("--e2e_weights_path", type=str, default="")
+    return p
+
+
+def parse_args(parser: argparse.ArgumentParser, argv=None) -> ConfigDict:
+    cfg = parse_with_config(parser, argv)
+    if cfg.get("data_mount_dir"):
+        # re-root data paths (the reference's blob_mount / data_mount,
+        # ref CLIP-ViP/src/pretrain/run_pretrain.py:447-466)
+        for key in ("train_annotation", "val_annotation", "video_root"):
+            if cfg.get(key) and not str(cfg[key]).startswith("/"):
+                cfg[key] = f"{cfg['data_mount_dir'].rstrip('/')}/{cfg[key]}"
+    return cfg

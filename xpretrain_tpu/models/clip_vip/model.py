@@ -104,6 +104,19 @@ class CLIPVipConfig:
         return CLIPVipConfig(vision=vision, **overrides)
 
     @staticmethod
+    def tiny_debug(image_size: int = 32, **overrides) -> "CLIPVipConfig":
+        """Small config for smoke tests / debug runs (``--clip_size tiny``)."""
+        text = CLIPTextConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=77,
+        )
+        vision = CLIPVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, image_size=image_size, patch_size=16,
+        )
+        return CLIPVipConfig(text=text, vision=vision, projection_dim=32, **overrides)
+
+    @staticmethod
     def large_patch14(**overrides) -> "CLIPVipConfig":
         text = CLIPTextConfig(hidden_size=768, intermediate_size=3072, num_attention_heads=12)
         vision = CLIPVisionConfig(
@@ -320,6 +333,12 @@ class VipVisionEmbeddings(nn.Module):
                 time_embed = temporal_embedding
             patches = patches + time_embed[:, :, None].astype(patches.dtype)
 
+        if L != n_patches:
+            raise ValueError(
+                f"input yields {L} patches/frame but config.image_size="
+                f"{cfg.image_size} with patch_size={cfg.patch_size} trains "
+                f"{n_patches} spatial positions — resize inputs or the config"
+            )
         patches = patches + position_embedding[None, None, 1:].astype(patches.dtype)
         cls = class_embedding[None, None] + position_embedding[None, :1]
         cls = jnp.broadcast_to(cls.astype(patches.dtype), (B, 1, embed_dim))

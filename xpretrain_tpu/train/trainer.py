@@ -48,6 +48,9 @@ def clip_vip_config_from(cfg) -> CLIPVipConfig:
         "base_32": CLIPVipConfig.base_patch32,
         "base_16": CLIPVipConfig.base_patch16,
         "large_14": CLIPVipConfig.large_patch14,
+        "tiny": lambda **kw: CLIPVipConfig.tiny_debug(
+            image_size=int(cfg.get("crop_img_size", 32)), **kw
+        ),
     }[size]
     model_cfg = factory(
         vip=VipConfig(
