@@ -1,0 +1,59 @@
+"""Native stream-copy clip cutter test."""
+
+import json
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import sys  # noqa: E402
+
+sys.path.insert(0, "tools")
+
+from xpretrain_tpu.data import video_reader  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def long_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cut") / "long.avi")
+    w, h, n, fps = 64, 48, 100, 10
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    assert writer.isOpened()
+    for i in range(n):
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[:, :, 0] = min(i * 2, 255)
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_cut_and_meta_flow(long_video, tmp_path):
+    from cut_videos import cut_all, parse_timestamp
+
+    assert parse_timestamp("00:00:02.500") == 2.5
+    assert parse_timestamp("1:01:00") == 3660.0
+    assert parse_timestamp("3.25") == 3.25
+
+    meta = tmp_path / "meta.jsonl"
+    meta.write_text(
+        json.dumps(
+            {
+                "video_id": "long.avi",
+                "clip": [{"clip_id": "long.2.5", "span": ["00:00:02", "00:00:05"]}],
+            }
+        )
+        + "\n"
+    )
+    import os
+
+    results = cut_all(str(meta), os.path.dirname(long_video), str(tmp_path / "clips"), ext=".avi")
+    assert results[0]["ok"]
+    out = str(tmp_path / "clips" / "long.2.5.avi")
+    info = video_reader.probe(out)
+    # ~3 seconds at 10fps, keyframe-aligned start can add frames (MJPG = all
+    # keyframes, so expect close to 30)
+    assert 25 <= info.num_frames <= 35
+    frames = video_reader.read_frames(out, np.array([0]))
+    # first frame should be from ~2s in (index ~20 -> blue ~40)
+    assert frames[0, :, :, 2].mean() > 25

@@ -216,6 +216,33 @@ def test_temporal_interpolation_parity_vs_reference(reference_vip):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_attention_modes_identical():
+    """masked_full and factorized proxy attention must agree exactly."""
+    import jax
+
+    cfg_kwargs = dict(
+        text=CLIPTextConfig(**TEXT_KW),
+        vision=CLIPVisionConfig(**VISION_KW),
+        projection_dim=PROJ,
+    )
+    m_masked = CLIPViPModel(
+        CLIPVipConfig(vip=VipConfig(add_cls_num=3, temporal_size=4, attention_mode="masked_full"), **cfg_kwargs)
+    )
+    m_fact = CLIPViPModel(
+        CLIPVipConfig(vip=VipConfig(add_cls_num=3, temporal_size=4, attention_mode="factorized"), **cfg_kwargs)
+    )
+    rng = np.random.default_rng(9)
+    video = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    ids, mask = _token_batch(rng)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    params = m_masked.init(jax.random.PRNGKey(0), video, ids, mask)
+    out_m = m_masked.apply(params, video, ids, mask)
+    out_f = m_fact.apply(params, video, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_m["vis_features"]), np.asarray(out_f["vis_features"]), atol=1e-5
+    )
+
+
 def test_roundtrip_export(hf_clip):
     variables = torch_clip_to_flax(hf_clip.state_dict(), 2, 2)
     exported = flax_to_torch_clip(variables)

@@ -26,6 +26,7 @@ Params are fp32; ``dtype=bfloat16`` selects the TPU compute precision
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -82,6 +83,14 @@ class VipConfig:
     if_use_temporal_embed: bool = True
     add_cls_num: int = 3
     logit_scale_init_value: float = 4.60
+    # TPU kernel choice — mathematically identical results:
+    #   "masked_full": ONE attention over the M+N·L sequence with a static
+    #     block mask (patch queries see [proxies ⊕ own frame]); turns the
+    #     reference's thousands of 49×53 gemms into MXU-sized batched
+    #     matmuls at ~10% more FLOPs — faster on TPU.
+    #   "factorized": the reference's two-attention decomposition
+    #     (``CLIP_ViP.py:332-381``), linear in N — wins for very long clips.
+    attention_mode: str = "masked_full"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,25 +143,49 @@ class CLIPVipConfig:
 # ---------------------------------------------------------------------------
 
 
-class ProxyAttention(nn.Module):
-    """The ViP factorized video attention (ref ``CLIP_ViP.py:332-381``).
+@functools.lru_cache(maxsize=16)
+def proxy_attention_mask(M: int, N: int, L: int) -> "np.ndarray":
+    """Static additive mask making full attention equal proxy attention.
 
-    Sequence layout: [M proxy tokens ⊕ N frames × L patches]. Two batched
-    attentions replace the full quadratic one:
+    Row i may attend column j iff i is a proxy token (i < M), or j is a
+    proxy token, or i and j lie in the same frame. Softmax over the allowed
+    set then matches the reference's factorized ``forward2`` exactly.
+    """
+    import numpy as np
+
+    S = M + N * L
+    frame = np.full(S, -1)
+    frame[M:] = np.repeat(np.arange(N), L)
+    allowed = (
+        (np.arange(S)[:, None] < M)
+        | (np.arange(S)[None, :] < M)
+        | (frame[:, None] == frame[None, :]) & (frame[:, None] >= 0)
+    )
+    return np.where(allowed, 0.0, -1e9).astype(np.float32)[None, None]
+
+
+class ProxyAttention(nn.Module):
+    """The ViP proxy video attention (ref ``CLIP_ViP.py:332-381``).
+
+    Sequence layout: [M proxy tokens ⊕ N frames × L patches]. Semantics:
+    patch tokens attend [proxies ⊕ own frame], proxies attend everything.
+    Two mathematically identical kernels (see ``VipConfig.attention_mode``):
+    ``masked_full`` = one attention with a static block mask (best MXU
+    shapes on TPU); ``factorized`` = the reference's two-attention
+    decomposition, linear in N:
 
     - in-frame: q = per-frame patches [B,H,N,L,D]; keys/values are the M
       proxies broadcast to every frame concatenated with that frame's own
       patches — softmax over the *joint* M+L axis (the subtle part: a
       separate softmax over proxies and patches would be wrong).
     - cls-divided: the M proxies attend over the full M+N·L sequence.
-
-    Cost is O(N·L·(M+L) + M·N·L) instead of O((N·L)²).
     """
 
     embed_dim: int
     num_heads: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    mode: str = "masked_full"
 
     @nn.compact
     def __call__(
@@ -160,6 +193,39 @@ class ProxyAttention(nn.Module):
         hidden_states: Array,  # [B, M+N*L, C]
         inputs_size: tuple[int, int, int],  # (M, N, L) — static
         deterministic: bool = True,
+    ) -> Array:
+        if self.mode == "masked_full":
+            return self._masked_full(hidden_states, inputs_size, deterministic)
+        return self._factorized(hidden_states, inputs_size, deterministic)
+
+    def _masked_full(
+        self,
+        hidden_states: Array,
+        inputs_size: tuple[int, int, int],
+        deterministic: bool,
+    ) -> Array:
+        M, N, L = inputs_size
+        B = hidden_states.shape[0]
+        H = self.num_heads
+        D = self.embed_dim // H
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        split = lambda x: x.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
+        q = split(dense("q_proj")(hidden_states))
+        k = split(dense("k_proj")(hidden_states))
+        v = split(dense("v_proj")(hidden_states))
+        rng = None
+        if self.dropout_rate > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+        mask = jnp.asarray(proxy_attention_mask(M, N, L))
+        out = dot_attention(q, k, v, D**-0.5, mask, rng, self.dropout_rate, deterministic)
+        out = out.transpose(0, 2, 1, 3).reshape(B, M + N * L, self.embed_dim)
+        return dense("out_proj")(out)
+
+    def _factorized(
+        self,
+        hidden_states: Array,
+        inputs_size: tuple[int, int, int],
+        deterministic: bool,
     ) -> Array:
         M, N, L = inputs_size
         B = hidden_states.shape[0]
@@ -393,6 +459,7 @@ class EncoderLayer(nn.Module):
     attention_dropout: float = 0.0
     use_proxy: bool = False
     dtype: jnp.dtype = jnp.float32
+    proxy_mode: str = "masked_full"
 
     @nn.compact
     def __call__(
@@ -411,6 +478,7 @@ class EncoderLayer(nn.Module):
                 self.num_heads,
                 self.attention_dropout,
                 dtype=self.dtype,
+                mode=self.proxy_mode,
                 name="self_attn",
             )(x, inputs_size, deterministic)
         else:
@@ -440,6 +508,7 @@ class Encoder(nn.Module):
     use_proxy: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    proxy_mode: str = "masked_full"
 
     @nn.compact
     def __call__(
@@ -461,6 +530,7 @@ class Encoder(nn.Module):
                 self.attention_dropout,
                 self.use_proxy,
                 dtype=self.dtype,
+                proxy_mode=self.proxy_mode,
                 name=f"layers_{i}",
             )(hidden_states, mask, inputs_size, deterministic)
         return hidden_states
@@ -532,6 +602,7 @@ class VipVisionTransformer(nn.Module):
             use_proxy=use_proxy,
             remat=self.remat,
             dtype=self.dtype,
+            proxy_mode=self.vip.attention_mode,
             name="encoder",
         )(x, inputs_size=inputs_size if use_proxy else None, deterministic=deterministic)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_layernorm")(x[:, 0])

@@ -147,6 +147,52 @@ def make_train_step(
     )
 
 
+def make_model_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_key: str = "loss",
+    metric_keys: tuple[str, ...] = (),
+    donate: bool = True,
+    opt_state_shardings: Any = None,
+):
+    """Train step for models that compute their own loss (LF-VILA, HD-VILA).
+
+    ``apply_fn(params, batch, rng) -> outputs`` must include ``loss_key``;
+    ``metric_keys`` are copied (stop-gradient) into the metrics dict.
+    Sharding layout matches :func:`make_train_step`.
+    """
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step_fn(state: TrainState, batch: dict, rng: Array):
+        def compute_loss(p):
+            outputs = apply_fn(p, batch, rng)
+            return outputs[loss_key].astype(jnp.float32), outputs
+
+        (loss, outputs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        for key in metric_keys:
+            if key in outputs:
+                metrics[key] = jax.lax.stop_gradient(outputs[key])
+        return new_state, metrics
+
+    state_shardings = TrainState(
+        step=replicated,
+        params=replicated,
+        opt_state=opt_state_shardings if opt_state_shardings is not None else replicated,
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, batch_sharded, replicated),
+        out_shardings=(state_shardings, replicated),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(apply_fn: Callable, mesh: Mesh):
     """Jitted forward: sharded batch in, fully-gathered features out.
 

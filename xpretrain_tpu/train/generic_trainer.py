@@ -1,0 +1,124 @@
+"""Generic SPMD trainer for models that compute their own losses.
+
+The LF-VILA/HD-VILA counterpart of the reference's per-workload Trainer
+classes (``LF-VILA/src/tools/trainer_pretrain.py:23-313`` and siblings):
+step loop with the jitted SPMD step, LR schedule inside the step, periodic
+checkpoint/resume, scalar logging, optional eval callback with best-model
+tracking. LF-VILA's DeepSpeed engine (backward/step/ZeRO-2) collapses into
+the optax update with sharded optimizer state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from xpretrain_tpu.optim import build_optimizer, get_schedule
+from xpretrain_tpu.parallel.mesh import create_mesh, shard_host_batch
+from xpretrain_tpu.parallel.train_step import (
+    TrainState,
+    make_model_train_step,
+    zero2_state_shardings,
+)
+from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
+from xpretrain_tpu.utils.logging import LOGGER, RunningMeter, ScalarWriter
+
+
+class GenericTrainer:
+    """Drive any ``apply_fn(params, batch, rng) -> {..., 'loss'}`` model."""
+
+    def __init__(
+        self,
+        cfg,
+        apply_fn: Callable,
+        init_params: Any,
+        train_loader,
+        eval_fn: Optional[Callable[[Any], dict]] = None,
+        metric_keys: tuple[str, ...] = (),
+        no_decay_patterns=None,
+    ):
+        self.cfg = cfg
+        self.mesh = create_mesh()
+        self.apply_fn = apply_fn
+        self.train_loader = train_loader
+        self.eval_fn = eval_fn
+        self.init_params = jax.tree_util.tree_map(np.asarray, init_params)
+
+        num_steps = int(cfg.get("num_train_steps", 1000))
+        schedule = get_schedule(
+            cfg.get("decay", "cosine"),
+            float(cfg.get("learning_rate", 5e-5)),
+            num_steps,
+            warmup_ratio=float(cfg.get("warmup_ratio", 0.1)),
+        )
+        kwargs = {}
+        if no_decay_patterns is not None:
+            kwargs["no_decay_patterns"] = no_decay_patterns
+        self.tx, _ = build_optimizer(
+            self.init_params,
+            schedule,
+            weight_decay=float(cfg.get("weight_decay", 0.01)),
+            betas=tuple(cfg.get("betas", (0.9, 0.98))),
+            max_grad_norm=float(cfg.get("grad_norm", 1.0)),
+            grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+            **kwargs,
+        )
+        self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
+        opt_shardings = (
+            zero2_state_shardings(self.tx, self.init_params, self.mesh)
+            if cfg.get("zero2", True)
+            else None
+        )
+        self.train_step = make_model_train_step(
+            apply_fn, self.tx, self.mesh, metric_keys=metric_keys,
+            opt_state_shardings=opt_shardings,
+        )
+        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
+        self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)
+        self.best = BestModelSaver(out_dir)
+        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
+        self.meter = RunningMeter("train_loss")
+
+    def train(self) -> TrainState:
+        cfg = self.cfg
+        state = TrainState.create(self.init_params, self.tx)
+        restored = self.ckpt.restore(jax.tree_util.tree_map(np.asarray, state))
+        if restored is not None:
+            state = restored
+        start_step = int(state.step)
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
+        log_every = int(cfg.get("log_steps", 20))
+        valid_every = int(cfg.get("valid_steps", 500))
+        save_every = int(cfg.get("save_steps", 500))
+        it = iter(self.train_loader)
+        t0 = time.time()
+        for step in range(start_step, self.num_train_steps):
+            batch = next(it)
+            if isinstance(batch, tuple):
+                _task, batch = batch
+            batch = shard_host_batch(batch, self.mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, step_rng)
+            if (step + 1) % log_every == 0:
+                loss = float(metrics["loss"])
+                self.meter(loss)
+                sps = log_every / (time.time() - t0)
+                t0 = time.time()
+                LOGGER.info("step %d/%d loss %.4f | %.2f steps/s", step + 1, self.num_train_steps, loss, sps)
+                scalars = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+                scalars["steps_per_s"] = sps
+                self.writer.log_scalar_dict(scalars, prefix="train", step=step + 1)
+            if self.eval_fn is not None and (step + 1) % valid_every == 0:
+                report = self.eval_fn(state.params)
+                score = report.get("score", 0.0)
+                self.best.maybe_save(step + 1, score, jax.tree_util.tree_map(np.asarray, state.params))
+                self.writer.log_scalar_dict(
+                    {k: v for k, v in report.items() if np.ndim(v) == 0}, prefix="val", step=step + 1
+                )
+            if (step + 1) % save_every == 0:
+                self.ckpt.save(step + 1, jax.tree_util.tree_map(np.asarray, state))
+        self.writer.flush()
+        return state
