@@ -1,0 +1,175 @@
+"""HD-VILA pretraining runner (stages 1 and 2).
+
+The runner surface of ``hd-vila/src/pretrain/run_pretrain_stage1_group.py:220-495``
+and ``run_pretrain_stage2_group.py``: hybrid high/low-res encoder + two-stage
+BERT, ITC (stage 1) or MLM+ITM (stage 2); the reference's three independent
+LR schedules over transformer/cnn/align param groups map to the lr-mul
+grouping (``--lr_mul`` + ``--lr_mul_prefix cnn``) under one schedule, with
+the sharded-annotation reload supported through ``ShardedAnnotations``.
+
+Usage:
+    python -m xpretrain_tpu.cli.run_pretrain_hdvila \
+        --config xpretrain_tpu/configs/presets/hdvila_pretrain_stage1.json --dummy_data 1
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
+from xpretrain_tpu.data.datasets import FrameSource
+from xpretrain_tpu.data.datasets_hdvila import HdVilaPretrainCollator, HdVilaPretrainDataset
+from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator
+from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.models.bert import BertConfig
+from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder, HdVilaEncoderConfig
+from xpretrain_tpu.models.hd_vila.modeling import HdVilaForPreTraining, HdVilaModelConfig
+from xpretrain_tpu.ops.losses import nce_loss
+from xpretrain_tpu.train.checkpoints import save_training_meta
+from xpretrain_tpu.train.generic_trainer import GenericTrainer
+from xpretrain_tpu.utils.logging import setup_logging
+
+import flax.linen as nn
+
+
+class HdVilaPretrainModel(nn.Module):
+    """Encoder + transformer + stage-1 ITC loss in one module
+    (the ``HDVILA`` wrapper role, ref ``e2e_model.py:16-93``)."""
+
+    enc_cfg: HdVilaEncoderConfig
+    model_cfg: HdVilaModelConfig
+    temp: float = 0.05
+
+    def setup(self) -> None:
+        self.encoder = HdVilaEncoder(self.enc_cfg)
+        self.transformer = HdVilaForPreTraining(self.model_cfg)
+
+    def __call__(
+        self,
+        img_middle,
+        img_other,
+        text_input_ids,
+        text_input_mask,
+        mlm_labels=None,
+        itm_labels=None,
+        sample_rng=None,
+        deterministic: bool = True,
+    ):
+        grid = self.encoder(img_middle, img_other)
+        out = self.transformer(
+            grid,
+            text_input_ids,
+            text_input_mask,
+            mlm_labels=mlm_labels,
+            itm_labels=itm_labels,
+            sample_rng=sample_rng,
+            deterministic=deterministic,
+        )
+        if self.model_cfg.stage == 1:
+            out["itc_loss"] = nce_loss(out["vis_features"], out["text_features"], self.temp)
+            out["loss"] = out["itc_loss"]
+        else:
+            out["loss"] = out.get("mlm_loss", 0.0) + out.get("itm_loss", 0.0)
+        return out
+
+
+def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
+    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    crop = tuple(cfg.get("crop_size", (640, 1024)))
+    enc = HdVilaEncoderConfig(
+        resnet_depth=int(cfg.get("resnet_depth", 50)),
+        hidden_size=int(cfg.get("hidden_size", 1024)),
+        timesformer_depth=int(cfg.get("timesformer_depth", 4)),
+        timesformer_heads=int(cfg.get("timesformer_heads", 16)),
+        timesformer_frames=int(cfg.get("num_frm", 7)),
+        timesformer_hw=(crop[0] // 64, crop[1] // 64),
+        dtype=dtype,
+    )
+    bert_factory = BertConfig.bert_large if cfg.get("bert", "large") == "large" else BertConfig.bert_base
+    n_layers = 24 if cfg.get("bert", "large") == "large" else 12
+    model = HdVilaModelConfig(
+        bert=bert_factory(stage_bounds=(n_layers // 2,)),
+        stage=int(cfg.get("stage", 1)),
+        pixel_random_sampling_size=int(cfg.get("pixel_random_sampling_size", 160)),
+        temp=float(cfg.get("temp", 0.05)),
+        dtype=dtype,
+    )
+    return enc, model
+
+
+def main(argv=None):
+    parser = build_shared_parser("HD-VILA pretraining")
+    parser.add_argument("--stage", type=int, default=1, choices=[1, 2])
+    parser.add_argument("--train_n_clips", type=int, default=2)
+    cfg = parse_args(parser, argv)
+    setup_logging(cfg.output_dir, jax.process_index())
+    save_training_meta(cfg.output_dir, cfg)
+
+    enc_cfg, model_cfg = hdvila_configs_from(cfg)
+    model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
+    tok = build_tokenizer(cfg.get("tokenizer", "hash"))
+    stage2 = model_cfg.stage == 2
+    collate = HdVilaPretrainCollator(
+        tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=stage2, itm=stage2, seed=cfg.seed
+    )
+    pi, pc = jax.process_index(), jax.process_count()
+    crop = tuple(cfg.get("crop_size", (640, 1024)))
+    ds = HdVilaPretrainDataset(
+        cfg.get("train_annotation") or None,
+        FrameSource(cfg.video_root) if cfg.get("video_root") else None,
+        train_n_clips=cfg.train_n_clips,
+        num_frm=cfg.num_frm,
+        sample_rate=cfg.sample_rate or 12,
+        crop_hw=crop,
+        seed=cfg.seed,
+        synthetic_size=1024 if cfg.get("dummy_data") else 0,
+    )
+    loader = InfiniteIterator(
+        BatchLoader(ds, cfg.train_batch_size, collate, seed=cfg.seed,
+                    process_index=pi, process_count=pc)
+    )
+    sample = next(iter(loader))
+    kwargs = {}
+    if stage2:
+        kwargs = dict(
+            mlm_labels=jnp.asarray(sample["mlm_labels"][:1]),
+            itm_labels=jnp.asarray(sample["itm_labels"][:1]),
+        )
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.asarray(sample["img_middle"][:1]),
+        jnp.asarray(sample["img_other"][:1]),
+        jnp.asarray(sample["text_input_ids"][:1]),
+        jnp.asarray(sample["text_input_mask"][:1]),
+        **kwargs,
+    )["params"]
+
+    def apply_fn(p, batch, rng):
+        extra = {}
+        if stage2:
+            extra = dict(
+                mlm_labels=batch["mlm_labels"],
+                itm_labels=batch["itm_labels"],
+                sample_rng=rng,
+            )
+        return model.apply(
+            {"params": p},
+            batch["img_middle"],
+            batch["img_other"],
+            batch["text_input_ids"],
+            batch["text_input_mask"],
+            deterministic=False,
+            rngs={"dropout": rng},
+            **extra,
+        )
+
+    trainer = GenericTrainer(
+        cfg, apply_fn, params, loader,
+        metric_keys=("itc_loss", "mlm_loss", "itm_loss", "mlm_acc", "itm_acc"),
+    )
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()

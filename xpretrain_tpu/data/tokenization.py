@@ -195,15 +195,28 @@ class WordPieceTokenizer:
 
 
 class HashTokenizer:
-    """Deterministic words->ids tokenizer for synthetic/test pipelines."""
+    """Deterministic words->ids tokenizer for synthetic/test pipelines.
 
-    def __init__(self, vocab_size: int = 49408, bot_id: int = 49406, eot_id: int = 49407):
+    Special ids derive from ``vocab_size`` (BOT = vocab-2, EOT = vocab-1) so
+    every id stays in-vocab for any embedding table; the defaults match
+    CLIP's 49406/49407. EOT being the highest id preserves the
+    argmax-pooling invariant of the CLIP text tower.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int = 49408,
+        bot_id: int | None = None,
+        eot_id: int | None = None,
+    ):
         self.vocab_size = vocab_size
-        self.bot_id = bot_id
-        self.eot_id = eot_id
+        self.bot_id = vocab_size - 2 if bot_id is None else bot_id
+        self.eot_id = vocab_size - 1 if eot_id is None else eot_id
+        if max(self.bot_id, self.eot_id) >= vocab_size:
+            raise ValueError("special ids must be < vocab_size")
         self.pad_id = 0
         self.mask_id = 1
-        self.cls_id, self.sep_id = bot_id, eot_id
+        self.cls_id, self.sep_id = self.bot_id, self.eot_id
 
     def encode(self, text: str) -> list[int]:
         out = []

@@ -102,6 +102,54 @@ def build_optimizer(
     return out, labels
 
 
+def build_multi_schedule_optimizer(
+    params: Any,
+    groups: Mapping[str, tuple[Sequence[str], Callable]],
+    default_schedule: Callable,
+    weight_decay: float = 0.01,
+    betas: tuple[float, float] = (0.9, 0.98),
+    eps: float = 1e-6,
+    max_grad_norm: float | None = 1.0,
+    no_decay_patterns: Sequence[str] = NO_DECAY_DEFAULT,
+) -> tuple[optax.GradientTransformation, Any]:
+    """AdamW with independent LR schedules per named param group.
+
+    The HD-VILA pattern of three schedules over transformer/cnn/align groups
+    (ref ``hd-vila/src/pretrain/run_pretrain_stage1_group.py:402-437``):
+    ``groups`` maps a group name to (path substrings, schedule); params not
+    matching any group use ``default_schedule``. Each group still splits
+    decay/no-decay.
+    """
+
+    def label(path, leaf):
+        path_s = _path_str(path)
+        name = "default"
+        for group_name, (patterns, _sched) in groups.items():
+            if any(p.lower() in path_s for p in patterns):
+                name = group_name
+                break
+        nd = "_no_decay" if _is_no_decay(path_s, leaf, no_decay_patterns) else "_decay"
+        return name + nd
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+
+    def adamw(schedule, wd):
+        return optax.adamw(
+            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd
+        )
+
+    transforms = {}
+    for name, (_patterns, sched) in list(groups.items()) + [("default", ((), default_schedule))]:
+        transforms[name + "_decay"] = adamw(sched, weight_decay)
+        transforms[name + "_no_decay"] = adamw(sched, 0.0)
+    tx = optax.multi_transform(transforms, labels)
+    chain = []
+    if max_grad_norm is not None and max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(tx)
+    return optax.chain(*chain), labels
+
+
 def clamp_logit_scale(params: Mapping, max_value: float = 5.2983) -> Any:
     """Clamp logit_scale to [0, ln(200)] each step (ref
     ``run_pretrain.py:335-340``: ``torch.clamp_(logit_scale, 0, np.log(200))``)."""
