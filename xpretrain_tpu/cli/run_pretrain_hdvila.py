@@ -86,10 +86,22 @@ def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
         timesformer_hw=(crop[0] // 64, crop[1] // 64),
         dtype=dtype,
     )
-    bert_factory = BertConfig.bert_large if cfg.get("bert", "large") == "large" else BertConfig.bert_base
-    n_layers = 24 if cfg.get("bert", "large") == "large" else 12
+    kind = cfg.get("bert", "large")
+    if kind == "large":
+        bert = BertConfig.bert_large(stage_bounds=(12,))
+    elif kind == "base":
+        bert = BertConfig.bert_base(stage_bounds=(6,))
+    else:  # tiny debug
+        bert = BertConfig(
+            hidden_size=int(cfg.get("hidden_size", 64)),
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            intermediate_size=2 * int(cfg.get("hidden_size", 64)),
+            vocab_size=int(cfg.get("vocab_size", 49408)),
+            stage_bounds=(2,),
+        )
     model = HdVilaModelConfig(
-        bert=bert_factory(stage_bounds=(n_layers // 2,)),
+        bert=bert,
         stage=int(cfg.get("stage", 1)),
         pixel_random_sampling_size=int(cfg.get("pixel_random_sampling_size", 160)),
         temp=float(cfg.get("temp", 0.05)),

@@ -61,6 +61,9 @@ class Swin3DConfig:
     # checkpoint parity; False returns the genuinely captured local branch
     # (the paper's stated design).
     faithful_local_branch: bool = True
+    # route window MSA through the fused Pallas kernel
+    # (ops/window_attention.py) — scores+bias+mask+softmax never leave VMEM
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -153,6 +156,7 @@ class WindowAttention3D(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -174,18 +178,27 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, h, N, d]
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores * (d**-0.5)
         rel_idx = relative_position_index(self.window)[:N, :N]
         bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
-        scores = scores + bias[None].astype(scores.dtype)
-        if mask is not None:
-            nW = mask.shape[0]
-            scores = scores.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
-            scores = scores.reshape(Bn, h, N, N)
-        weights = jax.nn.softmax(scores, axis=-1)
-        weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+        if self.use_pallas and (self.attn_drop == 0.0 or deterministic):
+            from xpretrain_tpu.ops.window_attention import window_attention
+
+            m = None if mask is None else jnp.asarray(mask)
+            out = window_attention(q, k, v, bias, m)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores * (d**-0.5)
+            scores = scores + bias[None].astype(scores.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                scores = scores.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+                scores = scores.reshape(Bn, h, N, N)
+            weights = jax.nn.softmax(scores, axis=-1)
+            weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic).astype(
+                v.dtype
+            )
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -216,6 +229,7 @@ class SwinBlock3D(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -245,6 +259,7 @@ class SwinBlock3D(nn.Module):
             self.qkv_bias,
             self.attn_drop,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )(windows, mask, deterministic)
         x = window_reverse(attn, window, B, Dp, Hp, Wp)
@@ -363,6 +378,7 @@ class SwinTransformer3D(nn.Module):
                     cfg.attn_drop_rate,
                     float(dpr[block_idx]),
                     dtype=cfg.dtype,
+                    use_pallas=cfg.use_pallas_attention,
                     name=f"layers_{i_layer}_blocks_{b}",
                 )(x, deterministic)
                 block_idx += 1

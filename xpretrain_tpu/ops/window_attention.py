@@ -1,0 +1,114 @@
+"""Pallas window-attention kernel for the HTWA/Swin3D encoder.
+
+The blockwise-attention north-star op (BASELINE.json; SURVEY.md §5.7).
+Window MSA works on [B·nW, H, N, d] with N = wd·wh·ww ≤ 480: small enough
+that a whole (window, head) attention fits VMEM, large enough that XLA's
+unfused path round-trips the [B·nW, H, N, N] score tensor through HBM.
+The kernel fuses scores + relative-position bias + shifted-window mask +
+fp32 softmax + value contraction per (window, head) grid cell, so scores
+never touch HBM.
+
+``window_attention(q, k, v, bias, mask)`` is the public entry; the XLA
+fallback computes the identical math for CPU tests and non-TPU backends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def window_attention_xla(
+    q: Array,  # [Bn, H, N, d]
+    k: Array,
+    v: Array,
+    bias: Array,  # [H, N, N]
+    mask: Optional[Array] = None,  # [nW, N, N]; window w = Bn index % nW
+) -> Array:
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    scores = scores + bias[None].astype(scores.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        Bn = q.shape[0]
+        scores = scores.reshape(Bn // nW, nW, *scores.shape[1:]) + mask[None, :, None].astype(
+            scores.dtype
+        )
+        scores = scores.reshape(Bn, *scores.shape[2:])
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def window_attention_pallas(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Array,
+    mask: Optional[Array] = None,
+    interpret: bool = False,
+) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bn, H, N, d = q.shape
+    scale = d**-0.5
+    has_mask = mask is not None
+    nW = mask.shape[0] if has_mask else 1
+    if not has_mask:
+        mask = jnp.zeros((1, N, N), jnp.float32)
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
+        qb = q_ref[0, 0].astype(jnp.float32)  # [N, d]
+        kb = k_ref[0, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [N, N]
+        scores = scores + b_ref[0] + m_ref[0]
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jax.lax.dot_general(
+            weights,
+            v_ref[0, 0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    grid = (Bn, H)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bn, H, N, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
+
+
+def window_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Array,
+    mask: Optional[Array] = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Array:
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            return window_attention_pallas(q, k, v, bias, mask, interpret)
+        except Exception:  # pragma: no cover
+            pass
+    return window_attention_xla(q, k, v, bias, mask)
