@@ -29,10 +29,11 @@ def main() -> None:
     from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
 
     model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16))
-    batch, frames, image, seq = 32, 12, 224, 70
+    # batch 256 of raw uint8 clips through the fused ingest path — the
+    # production serving configuration (masked-full proxy attention)
+    batch, frames, image, seq = 256, 12, 224, 70
 
     rng = jax.random.PRNGKey(0)
-    video = jnp.asarray(np.random.default_rng(0).normal(size=(batch, frames, 3, image, image)), jnp.float32)
     ids = np.zeros((batch, seq), np.int64)
     ids[:, 0] = 49406
     ids[:, 1:10] = np.random.default_rng(1).integers(300, 40000, size=(batch, 9))
@@ -40,6 +41,13 @@ def main() -> None:
     ids = jnp.asarray(ids)
     mask = (ids > 0).astype(jnp.int32)
 
+    @jax.jit
+    def gen_video(key):
+        return jax.random.randint(
+            key, (batch, frames, image, image, 3), 0, 255, jnp.int32
+        ).astype(jnp.uint8)
+
+    video = gen_video(rng)  # generated on-device: bench measures compute, not the host link
     params = model.init(rng, video[:1], ids[:1], mask[:1])
 
     @jax.jit

@@ -66,6 +66,83 @@ def resnet_torch_to_flax(state_dict: Mapping) -> dict:
     return params
 
 
+def hdvila_e2e_torch_to_flax(state_dict: Mapping) -> dict:
+    """Full HDVILA e2e checkpoint -> {encoder:…, transformer:…} flax trees.
+
+    Routes the reference module prefixes (``e2e_model.py:34-47,63``):
+    ``cnn.* / cnn_low.*`` -> ResNets, ``grid_encoder*.0.*`` -> the 1×1 convs,
+    ``timesformer.*`` -> TimeSformer, ``transformer.*`` -> the two-stage BERT
+    + heads (via the shared BERT converter).
+    """
+    from xpretrain_tpu.models.bert_convert import bert_torch_to_flax
+
+    groups: dict[str, dict] = {}
+    for key, value in state_dict.items():
+        prefix, _, rest = key.partition(".")
+        groups.setdefault(prefix, {})[rest] = value
+
+    encoder: dict = {}
+    if "cnn" in groups:
+        encoder["cnn"] = resnet_torch_to_flax(groups["cnn"])
+    if "cnn_low" in groups:
+        encoder["cnn_low"] = resnet_torch_to_flax(groups["cnn_low"])
+    for tname, fname in (
+        ("grid_encoder", "grid_encoder_conv"),
+        ("grid_encoder_low", "grid_encoder_low_conv"),
+        ("grid_encoder_combine", "grid_encoder_combine_conv"),
+    ):
+        if tname in groups and "0.weight" in groups[tname]:
+            encoder[fname] = {"kernel": _np(groups[tname]["0.weight"]).transpose(2, 3, 1, 0)}
+    if "timesformer" in groups:
+        encoder["timesformer"] = timesformer_torch_to_flax(groups["timesformer"])
+
+    transformer: dict = {}
+    if "transformer" in groups:
+        t = groups["transformer"]
+        bert_sd = {k: v for k, v in t.items() if k.startswith("bert.") and not k.startswith(
+            ("bert.pooler1", "bert.pooler2", "bert.visual_embeddings"))}
+        bert_tree, _pooler, _ = bert_torch_to_flax(bert_sd, prefix="bert.")
+        base: dict = {"bert": bert_tree}
+        for pooler_name in ("pooler1", "pooler2"):
+            wkey, bkey = f"bert.{pooler_name}.dense.weight", f"bert.{pooler_name}.dense.bias"
+            if wkey in t:
+                base[pooler_name] = {"dense": {"kernel": _np(t[wkey]).T, "bias": _np(t[bkey])}}
+        vis: dict = {}
+        for emb in ("row_position_embeddings", "col_position_embeddings"):
+            k = f"bert.visual_embeddings.{emb}.weight"
+            if k in t:
+                vis[emb] = {"embedding": _np(t[k])}
+        if "bert.visual_embeddings.token_type_embeddings.weight" in t:
+            vis["token_type_embedding"] = _np(
+                t["bert.visual_embeddings.token_type_embeddings.weight"]
+            ).reshape(1, 1, -1)
+        if "bert.visual_embeddings.LayerNorm.weight" in t:
+            vis["LayerNorm"] = {
+                "scale": _np(t["bert.visual_embeddings.LayerNorm.weight"]),
+                "bias": _np(t["bert.visual_embeddings.LayerNorm.bias"]),
+            }
+        if vis:
+            base["visual_embeddings"] = vis
+        transformer["bert_model"] = base
+        _, _, mlm = bert_torch_to_flax(
+            {k: v for k, v in t.items() if k.startswith("cls.")}, prefix=""
+        )
+        if mlm:
+            transformer["cls"] = mlm
+        for proj in ("t_proj", "v_proj"):
+            if f"{proj}.weight" in t:
+                transformer[proj] = {
+                    "kernel": _np(t[f"{proj}.weight"]).T,
+                    "bias": _np(t[f"{proj}.bias"]),
+                }
+        if "cls.seq_relationship.weight" in t:
+            transformer["seq_relationship"] = {
+                "kernel": _np(t["cls.seq_relationship.weight"]).T,
+                "bias": _np(t["cls.seq_relationship.bias"]),
+            }
+    return {"encoder": encoder, "transformer": transformer}
+
+
 def timesformer_torch_to_flax(state_dict: Mapping) -> dict:
     """Reference TimeSformer state_dict -> our flax tree."""
     params: dict = {}

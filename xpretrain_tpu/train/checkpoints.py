@@ -80,7 +80,9 @@ class BestModelSaver:
             return False
         self.best_score = score
         self.best_step = step
-        self.mgr.save(step, {"params": params, "score": np.float32(score)}, force=True)
+        self.mgr.save(
+            step, {"params": params, "score": np.full((), score, np.float32)}, force=True
+        )
         LOGGER.info("new best score %.4f at step %d", score, step)
         return True
 
