@@ -28,6 +28,21 @@ def long_video(tmp_path_factory):
     return path
 
 
+def test_transcode_6fps(long_video, tmp_path):
+    from compress_videos import transcode
+
+    out = str(tmp_path / "six.avi")
+    ok = transcode(long_video, out, fps=5.0)
+    assert ok
+    info = video_reader.probe(out)
+    # 10s source at 10fps -> 5fps output ~= 50 frames
+    assert 40 <= info.num_frames <= 60
+    assert abs(info.fps - 5.0) < 0.5
+    frames = video_reader.read_frames(out, np.array([0, 10]))
+    # frame 10 at 5fps == 2s == source frame 20 -> blue ~40
+    assert frames[1, :, :, 2].mean() > frames[0, :, :, 2].mean() + 20
+
+
 def test_cut_and_meta_flow(long_video, tmp_path):
     from cut_videos import cut_all, parse_timestamp
 

@@ -47,12 +47,26 @@ def lfvila_config_from(cfg) -> LfVilaConfig:
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         remat=bool(cfg.get("gradient_checkpointing", False)),
     )
-    bert_factory = BertConfig.bert_large if cfg.get("bert", "large") == "large" else BertConfig.bert_base
-    bert = bert_factory(
+    bert_kw = dict(
         stage_bounds=(int(cfg.get("num_local_layers", 8)), int(cfg.get("stage1_layers", 12))),
         type_vocab_size=int(cfg.get("type_vocab_size", 8)),
         attention_window=int(cfg.get("attention_window", 0)),
     )
+    kind = cfg.get("bert", "large")
+    if kind == "large":
+        bert = BertConfig.bert_large(**bert_kw)
+    elif kind == "base":
+        bert = BertConfig.bert_base(**bert_kw)
+    else:  # tiny debug: hidden must match the Swin num_features for fusion
+        hidden = int(video.embed_dim * 2 ** video.stages[-1])
+        bert = BertConfig(
+            hidden_size=hidden,
+            num_hidden_layers=6,
+            num_attention_heads=4,
+            intermediate_size=2 * hidden,
+            vocab_size=49408,
+            **bert_kw,
+        )
     tr = cfg.get("training", {})
     return LfVilaConfig(
         video=video,
