@@ -87,6 +87,20 @@ def test_multi_schedule_optimizer_lrs():
     assert abs(float(updates["vision"]["kernel"][0, 0])) > 1e-3
 
 
+def test_frozen_patterns_zero_updates():
+    params = _params()
+    sched = get_schedule("constant", 1e-2, 10)
+    tx, labels = build_optimizer(
+        params, sched, weight_decay=0.0, frozen_patterns=("cnn",), max_grad_norm=None
+    )
+    assert labels["cnn"]["conv"]["kernel"] == "frozen"
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["cnn"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["vision"]["kernel"]).max()) > 0.0
+
+
 def test_clamp_logit_scale():
     params = {"logit_scale": jnp.asarray(9.0), "other": jnp.asarray(9.0)}
     out = clamp_logit_scale(params)

@@ -51,6 +51,11 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--if_gather", type=int, default=1,
                    help="global contrastive batch (always on under pjit; kept for config compat)")
 
+    # freezing (stage-2 recipes, text-encoder freeze)
+    p.add_argument("--freeze_text_model", type=int, default=0)
+    p.add_argument("--freeze_text_proj", type=int, default=0)
+    p.add_argument("--frozen_patterns", type=str, nargs="*", default=[])
+
     # precision / memory
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--gradient_checkpointing", type=int, default=0)

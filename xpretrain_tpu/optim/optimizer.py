@@ -42,11 +42,20 @@ def param_group_labels(
     params: Any,
     lr_mul_prefix: str = "",
     no_decay_patterns: Sequence[str] = NO_DECAY_DEFAULT,
+    frozen_patterns: Sequence[str] = (),
 ) -> Any:
-    """Label tree: {top_,base_} x {decay,no_decay} per leaf."""
+    """Label tree: frozen | {top_,base_} x {decay,no_decay} per leaf.
+
+    ``frozen_patterns`` implements the reference's stage freezing (stage-1
+    modules frozen during stage-2 pretraining, ``e2e_model.py:188-206``,
+    ``lfvila_pretrain.py:82-97``; text-encoder freezing ``VidCLIP.py:96-103``)
+    as an optimizer concern: matched params receive zero updates.
+    """
 
     def label(path, leaf):
         path_s = _path_str(path)
+        if any(p.lower() in path_s for p in frozen_patterns):
+            return "frozen"
         top = bool(lr_mul_prefix) and lr_mul_prefix.lower() in path_s
         nd = _is_no_decay(path_s, leaf, no_decay_patterns)
         return ("top_" if top else "base_") + ("no_decay" if nd else "decay")
@@ -65,12 +74,14 @@ def build_optimizer(
     max_grad_norm: float | None = 2.0,
     no_decay_patterns: Sequence[str] = NO_DECAY_DEFAULT,
     grad_accum_steps: int = 1,
+    frozen_patterns: Sequence[str] = (),
 ) -> tuple[optax.GradientTransformation, Any]:
     """Build the grouped AdamW; returns (tx, labels).
 
     ``schedule`` maps step -> base lr; the top groups use ``lr_mul * lr``.
     Global-norm clipping runs before Adam (the reference clips master grads
-    at ``run_pretrain.py:408-411``).
+    at ``run_pretrain.py:408-411``). ``frozen_patterns`` zero out updates
+    (stage-freezing, see :func:`param_group_labels`).
     """
 
     def adamw(mul: float, wd: float) -> optax.GradientTransformation:
@@ -82,13 +93,14 @@ def build_optimizer(
             weight_decay=wd,
         )
 
-    labels = param_group_labels(params, lr_mul_prefix, no_decay_patterns)
+    labels = param_group_labels(params, lr_mul_prefix, no_decay_patterns, frozen_patterns)
     tx = optax.multi_transform(
         {
             "base_decay": adamw(1.0, weight_decay),
             "base_no_decay": adamw(1.0, 0.0),
             "top_decay": adamw(lr_mul, weight_decay),
             "top_no_decay": adamw(lr_mul, 0.0),
+            "frozen": optax.set_to_zero(),
         },
         labels,
     )

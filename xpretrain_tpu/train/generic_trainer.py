@@ -62,8 +62,11 @@ class GenericTrainer:
             schedule,
             weight_decay=float(cfg.get("weight_decay", 0.01)),
             betas=tuple(cfg.get("betas", (0.9, 0.98))),
+            lr_mul=float(cfg.get("lr_mul", 1.0)),
+            lr_mul_prefix=cfg.get("lr_mul_prefix", ""),
             max_grad_norm=float(cfg.get("grad_norm", 1.0)),
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+            frozen_patterns=tuple(cfg.get("frozen_patterns", ())),
             **kwargs,
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))

@@ -108,6 +108,12 @@ class ClipVipTrainer:
             num_steps,
             warmup_ratio=float(cfg.get("warmup_ratio", 0.1)),
         )
+        frozen = list(cfg.get("frozen_patterns", ()))
+        if cfg.get("freeze_text_model"):
+            # VidCLIP.freeze_text_encoder (ref VidCLIP.py:96-103)
+            frozen.append("text_model")
+            if cfg.get("freeze_text_proj"):
+                frozen.append("text_projection")
         self.tx, _ = build_optimizer(
             init_params,
             schedule,
@@ -117,6 +123,7 @@ class ClipVipTrainer:
             lr_mul_prefix=cfg.get("lr_mul_prefix", ""),
             max_grad_norm=float(cfg.get("grad_norm", 2.0)),
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+            frozen_patterns=tuple(frozen),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
