@@ -43,6 +43,23 @@ def test_transcode_6fps(long_video, tmp_path):
     assert frames[1, :, :, 2].mean() > frames[0, :, :, 2].mean() + 20
 
 
+def test_decode_frames_tool(long_video, tmp_path):
+    from decode_frames import dump_video
+
+    n = dump_video(long_video, str(tmp_path / "clip"), fps=None, num_frames=8,
+                   fmt="npy", height=24)
+    assert n == 8
+    arr = np.load(tmp_path / "clip.npy")
+    assert arr.shape == (8, 24, 32, 3)
+
+    n2 = dump_video(long_video, str(tmp_path / "jpgs"), fps=5.0, num_frames=None,
+                    fmt="jpg", height=0)
+    assert n2 == 50
+    import os
+
+    assert len(os.listdir(tmp_path / "jpgs")) == 50
+
+
 def test_cut_and_meta_flow(long_video, tmp_path):
     from cut_videos import cut_all, parse_timestamp
 
