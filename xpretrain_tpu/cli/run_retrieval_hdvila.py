@@ -1,0 +1,129 @@
+"""HD-VILA video-text retrieval runner (dual-encoder ITC fine-tune + eval).
+
+The runner surface of ``hd-vila/src/tasks/run_video_retrieval.py:168-434``:
+the e2e hybrid encoder's stage-1 ITC features trained with the contrastive
+loss zoo over the pjit-global batch; eval gathers features per batch and
+computes R@K (raw + DSL). The fusion rerank head
+(:class:`HdVilaForVideoTextRetrieval`) covers the ``loss_type=rank`` variant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xpretrain_tpu.cli.run_pretrain_hdvila import HdVilaPretrainModel, hdvila_configs_from
+from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
+from xpretrain_tpu.data.datasets import FrameSource
+from xpretrain_tpu.data.datasets_hdvila import HdVilaPretrainCollator
+from xpretrain_tpu.data.datasets_hdvila_tasks import HdVilaClipLoader, HdVilaRetrievalDataset
+from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator, SequentialEvalLoader
+from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.ops.losses import build_loss_fn
+from xpretrain_tpu.parallel.mesh import shard_host_batch
+from xpretrain_tpu.parallel.train_step import make_eval_step
+from xpretrain_tpu.train.checkpoints import save_training_meta
+from xpretrain_tpu.train.evaluate import evaluate_retrieval
+from xpretrain_tpu.train.generic_trainer import GenericTrainer
+from xpretrain_tpu.utils.basic import save_json
+from xpretrain_tpu.utils.logging import setup_logging
+
+
+def main(argv=None):
+    parser = build_shared_parser("HD-VILA video retrieval")
+    parser.add_argument("--mode", type=str, default="train", choices=["train", "eval"])
+    parser.add_argument("--train_n_clips", type=int, default=2)
+    cfg = parse_args(parser, argv)
+    cfg["stage"] = 1  # dual-encoder ITC
+    setup_logging(cfg.output_dir, jax.process_index())
+    save_training_meta(cfg.output_dir, cfg)
+
+    enc_cfg, model_cfg = hdvila_configs_from(cfg)
+    model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
+    tok = build_tokenizer(cfg.get("tokenizer", "hash"))
+    collate = HdVilaPretrainCollator(
+        tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=False, itm=False
+    )
+    loader_args = dict(
+        n_clips=cfg.train_n_clips, num_frm=cfg.num_frm, sample_rate=cfg.sample_rate or 12,
+        crop_hw=tuple(cfg.get("crop_size", (640, 1024))),
+    )
+    pi, pc = jax.process_index(), jax.process_count()
+    if cfg.get("dummy_data"):
+        clip_loader = HdVilaClipLoader(None, synthetic_seed=cfg.seed, **loader_args)
+        rows = [{"clip_id": f"c{i}", "text": f"video about topic {i}"} for i in range(128)]
+        train_ds = HdVilaRetrievalDataset(None, clip_loader, rows=rows, train=True, seed=cfg.seed)
+        val_ds = HdVilaRetrievalDataset(None, clip_loader, rows=rows[:64])
+    else:
+        clip_loader = HdVilaClipLoader(FrameSource(cfg.video_root), **loader_args)
+        train_ds = HdVilaRetrievalDataset(cfg.train_annotation, clip_loader, train=True, seed=cfg.seed)
+        val_ds = HdVilaRetrievalDataset(cfg.val_annotation, clip_loader)
+    train_loader = InfiniteIterator(
+        BatchLoader(train_ds, cfg.train_batch_size, collate, seed=cfg.seed,
+                    process_index=pi, process_count=pc)
+    )
+    val_loader = SequentialEvalLoader(val_ds, cfg.val_batch_size, collate,
+                                      process_index=pi, process_count=pc)
+
+    sample = next(iter(train_loader))
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.asarray(sample["img_middle"][:1]),
+        jnp.asarray(sample["img_other"][:1]),
+        jnp.asarray(sample["text_input_ids"][:1]),
+        jnp.asarray(sample["text_input_mask"][:1]),
+    )["params"]
+
+    loss_fn = build_loss_fn(cfg.get("loss_name", "NCEContrastiveLoss"), temp=model_cfg.temp) \
+        if cfg.get("loss_name", "NCEContrastiveLoss") in ("NCEContrastiveLoss",) \
+        else build_loss_fn(cfg["loss_name"])
+
+    def apply_fn(p, batch, rng):
+        out = model.apply(
+            {"params": p},
+            batch["img_middle"],
+            batch["img_other"],
+            batch["text_input_ids"],
+            batch["text_input_mask"],
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        kind = getattr(loss_fn, "signature_kind", "pair_temp")
+        if kind == "pair_temp":
+            out["loss"] = loss_fn(out["vis_features"], out["text_features"])
+        else:
+            out["loss"] = loss_fn(
+                out["vis_features"], out["text_features"], jnp.log(jnp.asarray(1.0 / model_cfg.temp))
+            )
+        return out
+
+    from xpretrain_tpu.parallel.mesh import create_mesh
+
+    eval_mesh = create_mesh()
+    eval_step = make_eval_step(
+        lambda p, b, r: model.apply(
+            {"params": p}, b["img_middle"], b["img_other"],
+            b["text_input_ids"], b["text_input_mask"],
+        ),
+        eval_mesh,
+    )
+
+    def run_eval(p):
+        batches = (shard_host_batch(dict(b), eval_mesh) for b in val_loader)
+        report = evaluate_retrieval(eval_step, p, batches, val_loader.valid_len)
+        report["score"] = report["t2v"]["R1"]
+        return report
+    if cfg.mode == "eval":
+        report = run_eval(params)
+        save_json(report, f"{cfg.output_dir}/eval_report.json", pretty=True)
+        return report
+    trainer = GenericTrainer(cfg, apply_fn, params, train_loader, eval_fn=run_eval)
+    state = trainer.train()
+    report = run_eval(state.params)
+    save_json(report, f"{cfg.output_dir}/final_report.json", pretty=True)
+    return report
+
+
+if __name__ == "__main__":
+    main()
