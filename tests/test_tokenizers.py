@@ -1,0 +1,89 @@
+"""ClipBPETokenizer and WordPieceTokenizer on hand-built asset files."""
+
+import json
+
+import numpy as np
+import pytest
+
+from xpretrain_tpu.data.tokenization import (
+    ClipBPETokenizer,
+    WordPieceTokenizer,
+    bytes_to_unicode,
+)
+
+
+@pytest.fixture()
+def clip_assets(tmp_path):
+    """Minimal CLIP-style vocab+merges covering 'low', 'lower', 'hello'."""
+    byte_vocab = list(bytes_to_unicode().values())
+    vocab = byte_vocab + [v + "</w>" for v in byte_vocab]
+    merges = [
+        ("l", "o"),
+        ("l", "o</w>"),
+        ("lo", "w</w>"),
+        ("h", "e"),
+        ("he", "l"),
+        ("hel", "lo</w>"),
+        ("e", "r</w>"),
+        ("lo", "w"),
+        ("low", "er</w>"),
+    ]
+    for a, b in merges:
+        vocab.append(a + b)
+    vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+    vocab_path = tmp_path / "vocab.json"
+    vocab_path.write_text(json.dumps({tok: i for i, tok in enumerate(vocab)}))
+    merges_path = tmp_path / "merges.txt"
+    merges_path.write_text("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    return str(vocab_path), str(merges_path)
+
+
+def test_clip_bpe_merges(clip_assets):
+    tok = ClipBPETokenizer(*clip_assets)
+    # 'low' -> merges l+o, lo+w</w> -> single token "low</w>"
+    ids = tok.encode("low")
+    assert len(ids) == 1
+    assert tok.decoder[ids[0]] == "low</w>"
+    # 'lower' fully merges through l+o, lo+w, e+r</w>, low+er</w>
+    ids2 = tok.encode("lower")
+    assert [tok.decoder[i] for i in ids2] == ["lower</w>"]
+    # 'hello' fully merges
+    ids3 = tok.encode("hello")
+    assert [tok.decoder[i] for i in ids3] == ["hello</w>"]
+    # unknown chars fall back to byte tokens
+    assert len(tok.encode("xyz")) >= 1
+
+
+def test_clip_bpe_batch_layout(clip_assets):
+    tok = ClipBPETokenizer(*clip_assets)
+    ids, mask = tok(["hello low", "LOW"], max_len=6)
+    assert ids.shape == (2, 6)
+    assert ids[0, 0] == tok.bot_id
+    assert mask[0].sum() == 4  # bot, hello, low, eot
+    # case-insensitive (lowercased cleaning)
+    assert ids[1, 1] == tok.encode("low")[0]
+    # EOT is the highest id -> argmax pooling works
+    assert ids[0].argmax() == 3
+
+
+@pytest.fixture()
+def wp_vocab(tmp_path):
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "play", "##ing", "##ed", "un", "##believ", "##able", ","]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(words))
+    return str(p)
+
+
+def test_wordpiece(wp_vocab):
+    tok = WordPieceTokenizer(wp_vocab)
+    assert tok.encode("hello world") == [5, 6]
+    assert tok.encode("playing") == [7, 8]
+    assert tok.encode("played") == [7, 9]
+    assert tok.encode("unbelievable") == [10, 11, 12]
+    assert tok.encode("zzz") == [tok.unk_id]
+    # punctuation split
+    assert tok.encode("hello, world") == [5, 13, 6]
+    ids, mask = tok(["playing"], max_len=6)
+    assert list(ids[0][:4]) == [tok.cls_id, 7, 8, tok.sep_id]
+    assert mask[0].sum() == 4

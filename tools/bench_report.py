@@ -102,13 +102,61 @@ def bench_hdvila(quick=False):
             "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}
 
 
+def bench_clipvip_train(quick=False):
+    """Full pretrain step (fwd+bwd+grouped-AdamW) — the steps/sec metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
+    from xpretrain_tpu.ops.losses import build_loss_fn
+    from xpretrain_tpu.optim import build_optimizer, get_schedule
+    from xpretrain_tpu.parallel.mesh import create_mesh
+    from xpretrain_tpu.parallel.train_step import TrainState, make_train_step
+
+    model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16, remat=True))
+    b = 16 if quick else 32  # reference pretrain batch/GPU = 32
+    f, im, s = 12, 224, 70
+    ids = np.zeros((b, s), np.int64)
+    ids[:, 0], ids[:, 1:10], ids[:, 10] = 49406, 500, 49407
+    ids = jnp.asarray(ids)
+    mask = (ids > 0).astype(jnp.int32)
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, (b, f, im, im, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+
+    video = gen(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1])["params"]
+    sched = get_schedule("cosine", 5e-6, 100000)
+    tx, _ = build_optimizer(params, sched, weight_decay=0.2)
+    mesh = create_mesh()
+    step = make_train_step(
+        lambda p, batch, rng: model.apply(
+            {"params": p}, batch["video"], batch["ids"], batch["mask"],
+            deterministic=False, rngs={"dropout": rng},
+        ),
+        tx, mesh, build_loss_fn("NCELearnableTempLoss"), donate=False,
+    )
+    state = TrainState.create(params, tx)
+    batch = {"video": video, "ids": ids, "mask": mask}
+
+    def run():
+        nonlocal state
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(np.asarray(metrics["loss"]))
+
+    t = median_time(run, warmup=2, iters=5)
+    return {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, remat)", "batch": b,
+            "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--out", default="PERF.md")
     args = p.parse_args()
     rows = []
-    for fn in (bench_clipvip, bench_lfvila, bench_hdvila):
+    for fn in (bench_clipvip, bench_clipvip_train, bench_lfvila, bench_hdvila):
         try:
             row = fn(args.quick)
             rows.append(row)
