@@ -100,6 +100,61 @@ def _map_merge_param(params, base, mod, wb, v):
         _set(params, base + ("norm", "scale" if wb == "weight" else "bias"), v)
 
 
+def lfvila_torch_to_flax(state_dict: Mapping) -> dict:
+    """Full LFVILA_Pretrain checkpoint -> our LfVilaPretrain param tree.
+
+    Routes the reference module prefixes (``lfvila_pretrain.py:51-78``):
+    ``video_encoder.*`` -> Swin3D, ``text_encoder.bert.*`` -> staged BERT
+    (+pooler), ``text_encoder.cls.*`` -> MLM head, ``text_encoder.
+    seq_relationship`` + the four projections + ``sent_embedding`` +
+    ``video_token_pos`` -> their modules.
+    """
+    from xpretrain_tpu.models.bert_convert import bert_torch_to_flax
+
+    groups: dict[str, dict] = {}
+    for key, value in state_dict.items():
+        prefix, _, rest = key.partition(".")
+        groups.setdefault(prefix, {})[rest] = value
+
+    params: dict = {}
+    if "video_encoder" in groups:
+        params["video_encoder"] = swin3d_torch_to_flax(groups["video_encoder"])
+    if "text_encoder" in groups:
+        t = groups["text_encoder"]
+        bert_tree, pooler, mlm = bert_torch_to_flax(t, prefix="bert.")
+        if pooler:
+            bert_tree["pooler"] = pooler
+        params["text_encoder"] = bert_tree
+        if mlm:
+            params["cls"] = mlm
+        if "seq_relationship.weight" in t:
+            params["seq_relationship"] = {
+                "kernel": _np(t["seq_relationship.weight"]).T,
+                "bias": _np(t["seq_relationship.bias"]),
+            }
+    for proj in ("video_local_proj", "text_local_proj", "video_global_proj", "text_global_proj"):
+        if proj in groups and "weight" in groups[proj]:
+            params[proj] = {
+                "kernel": _np(groups[proj]["weight"]).T,
+                "bias": _np(groups[proj]["bias"]),
+            }
+    if "sent_embedding" in groups:
+        s = groups["sent_embedding"]
+        params["sent_embedding"] = {
+            "position_embeddings": {"embedding": _np(s["position_embeddings.weight"])},
+            "segment_embeddings": {"embedding": _np(s["segment_embeddings.weight"])},
+            "norm": {"scale": _np(s["norm.weight"]), "bias": _np(s["norm.bias"])},
+        }
+    if "video_token_pos" in groups:
+        v = groups["video_token_pos"]
+        params["video_token_pos"] = {
+            "s_pos_embed": _np(v["s_pos_embed"]),
+            "t_pos_embed": _np(v["t_pos_embed"]),
+            "norm": {"scale": _np(v["norm.weight"]), "bias": _np(v["norm.bias"])},
+        }
+    return params
+
+
 def inflate_swin2d_to_3d(
     state_dict_2d: Mapping,
     window3d: tuple[int, int, int],

@@ -22,11 +22,14 @@ def evaluate_retrieval(
     params: Any,
     loader,
     valid_len: int | None = None,
+    save_feats_path: str | None = None,
 ) -> dict[str, dict[str, float]]:
     """Run retrieval eval; ``loader`` yields device-ready batches.
 
     Returns the metric report plus a ``perf`` block with wall time and
     clips/sec (the reference logs wall-clock at ``run_pretrain.py:186``).
+    ``save_feats_path`` dumps the gathered features as .npz (the reference's
+    ``save_feat`` option, ``run_video_retrieval.py:233``).
     """
     vis_chunks, text_chunks = [], []
     start = time.time()
@@ -41,6 +44,8 @@ def evaluate_retrieval(
     text = np.concatenate(text_chunks)
     if valid_len is not None:
         vis, text = vis[:valid_len], text[:valid_len]
+    if save_feats_path is not None:
+        np.savez(save_feats_path, vis_features=vis, text_features=text)
     sim_t2v = text @ vis.T
     report = retrieval_report(sim_t2v)
     report["perf"] = {"wall_s": wall, "clips_per_s": n_clips / max(wall, 1e-9)}
