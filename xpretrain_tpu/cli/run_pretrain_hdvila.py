@@ -77,13 +77,16 @@ class HdVilaPretrainModel(nn.Module):
 def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
     dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
     crop = tuple(cfg.get("crop_size", (640, 1024)))
+    # trained pos-embed grid is fixed at (10, 16) = 640x1024/64 regardless of
+    # crop (the model interpolates at other sizes, ref timesformer.py:486-511)
+    ts_hw = tuple(cfg.get("timesformer_hw", (10, 16)))
     enc = HdVilaEncoderConfig(
         resnet_depth=int(cfg.get("resnet_depth", 50)),
         hidden_size=int(cfg.get("hidden_size", 1024)),
         timesformer_depth=int(cfg.get("timesformer_depth", 4)),
         timesformer_heads=int(cfg.get("timesformer_heads", 16)),
         timesformer_frames=int(cfg.get("num_frm", 7)),
-        timesformer_hw=(crop[0] // 64, crop[1] // 64),
+        timesformer_hw=ts_hw,
         dtype=dtype,
     )
     kind = cfg.get("bert", "large")
