@@ -49,6 +49,32 @@ def test_sharded_annotations(tmp_path):
     assert sharded.current()[0]["shard"] == 0  # wraps
 
 
+def test_sharded_reload_loader(tmp_path):
+    import numpy as np
+
+    from xpretrain_tpu.data.loader import ShardedReloadLoader
+
+    for i in range(2):
+        with open(tmp_path / f"part{i}.jsonl", "w") as f:
+            for j in range(8):
+                f.write(json.dumps({"value": i * 100 + j}) + "\n")
+    shards = ShardedAnnotations(str(tmp_path / "part{}.jsonl"), 2)
+    loader = ShardedReloadLoader(
+        shards,
+        dataset_factory=lambda rows: [r["value"] for r in rows],
+        batch_size=4,
+        collate_fn=lambda items: np.asarray(items),
+        reload_steps=3,
+    )
+    it = iter(loader)
+    first = [next(it) for _ in range(3)]
+    assert all(b.max() < 100 for b in first)  # shard 0
+    second = [next(it) for _ in range(3)]
+    assert all(b.min() >= 100 for b in second)  # shard 1 after reload
+    third = next(it)
+    assert third.max() < 100  # wrapped back to shard 0
+
+
 def test_stable_hash_deterministic():
     assert stable_hash("abc", 16) == stable_hash("abc", 16)
     assert 0 <= stable_hash("xyz", 7) < 7

@@ -169,6 +169,67 @@ class MetaLoader:
         return task, next(self.iters[task])
 
 
+class ShardedReloadLoader:
+    """Infinite loader that swaps annotation shards every ``reload_steps``.
+
+    The hd-vila sharded-annotation pattern
+    (``run_pretrain_stage1_group.py:265-277, 344-347, 482-488``): a 100M-row
+    corpus is split into epoch-sized jsonl shards; the train loader is rebuilt
+    on the next shard every RELOAD_STEPS so at most one shard is resident.
+
+    ``dataset_factory(rows) -> dataset``; ``shards`` is a
+    :class:`~xpretrain_tpu.data.metadata.ShardedAnnotations`.
+    """
+
+    def __init__(
+        self,
+        shards,
+        dataset_factory: Callable[[list], Sequence],
+        batch_size: int,
+        collate_fn: Callable[[list], Any],
+        reload_steps: int = 1000,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.shards = shards
+        self.dataset_factory = dataset_factory
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.reload_steps = reload_steps
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self._steps_on_shard = 0
+        self._reloads = 0
+        self._it: Iterator | None = None
+
+    def _build(self):
+        loader = BatchLoader(
+            self.dataset_factory(self.shards.current()),
+            self.batch_size,
+            self.collate_fn,
+            seed=self.seed + 104729 * self._reloads,  # distinct stream per shard
+            process_index=self.process_index,
+            process_count=self.process_count,
+        )
+        return InfiniteIterator(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._it is None:
+            self._it = self._build()
+        if self._steps_on_shard >= self.reload_steps:
+            self.shards.advance()
+            self._reloads += 1
+            self._steps_on_shard = 0
+            self._it = self._build()
+        self._steps_on_shard += 1
+        return next(self._it)
+
+
 class PrefetchLoader:
     """Stage batches onto devices from a background thread.
 
