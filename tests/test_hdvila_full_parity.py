@@ -194,3 +194,82 @@ def test_full_hdvila_stage1_parity(reference_hdvila):
         np.asarray(got["vis_features"]), want["vis_features"].numpy(), atol=1e-4,
         err_msg="ITC visual features mismatch",
     )
+
+
+def test_full_hdvila_stage2_parity(reference_hdvila):
+    from transformers import BertConfig as HFBertConfig
+
+    from xpretrain_tpu.cli.run_pretrain_hdvila import HdVilaPretrainModel
+    from xpretrain_tpu.models.bert import BertConfig
+    from xpretrain_tpu.models.hd_vila.convert import hdvila_e2e_torch_to_flax
+    from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoderConfig
+    from xpretrain_tpu.models.hd_vila.modeling import HdVilaModelConfig
+
+    hidden = 64
+    cfg = HFBertConfig(
+        vocab_size=300, hidden_size=hidden, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=128, max_position_embeddings=64,
+        type_vocab_size=2, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    for key, value in dict(
+        stage=2, resnet_depth=18, resnet_frozen_stage=-1,
+        backbone_channel_in_size=512, backbone_channels=[64, 128, 256, 512],
+        timesformer_depth=1, timesformer_heads=4, timesformer_type="new",
+        score_agg_func="mean", bert_mean=True, max_grid_row_position_embeddings=100,
+        max_grid_col_position_embeddings=100, pixel_random_sampling_size=0,
+        classifier="mlp", cls_hidden_scale=2, loss_type="ce", margin=0.1,
+    ).items():
+        setattr(cfg, key, value)
+    torch.manual_seed(2)
+    ref = reference_hdvila(cfg, stage=2)
+    ref.eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.8, 1.2)
+
+    enc_cfg = HdVilaEncoderConfig(
+        resnet_depth=18, hidden_size=hidden, timesformer_depth=1, timesformer_heads=4,
+        timesformer_frames=7, timesformer_hw=(10, 16),
+    )
+    model_cfg = HdVilaModelConfig(
+        bert=BertConfig(
+            vocab_size=300, hidden_size=hidden, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=128, max_position_embeddings=64,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0, stage_bounds=(2,),
+        ),
+        stage=2, pixel_random_sampling_size=0, bert_mean=True,
+    )
+    model = HdVilaPretrainModel(enc_cfg, model_cfg)
+    converted = hdvila_e2e_torch_to_flax(ref.state_dict())
+    params = {"encoder": converted["encoder"], "transformer": converted["transformer"]}
+
+    rng = np.random.default_rng(2)
+    B, clips, frm = 2, 2, 3
+    img_middle = rng.integers(0, 255, size=(B, clips, 3, 128, 192)).astype(np.float32)
+    img_other = rng.integers(0, 255, size=(B, clips, frm - 1, 3, 32, 48)).astype(np.float32)
+    ids = rng.integers(2, 299, size=(B, 12))
+    mask = np.ones((B, 12), np.int64)
+    mlm_labels = np.full((B, 12), -100)
+    mlm_labels[:, [2, 5]] = rng.integers(2, 299, size=(B, 2))
+    itm_labels = np.array([1, 0])
+
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(img_middle), torch.tensor(img_other),
+            torch.tensor(ids), torch.tensor(mask),
+            mlm_labels=torch.tensor(mlm_labels.copy()), itm_labels=torch.tensor(itm_labels),
+        )
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(img_middle), jnp.asarray(img_other),
+        jnp.asarray(ids), jnp.asarray(mask),
+        mlm_labels=jnp.asarray(mlm_labels), itm_labels=jnp.asarray(itm_labels),
+    )
+    np.testing.assert_allclose(
+        float(got["mlm_loss"]), float(want["mlm_loss"]), atol=3e-4, err_msg="mlm loss"
+    )
+    np.testing.assert_allclose(
+        float(got["itm_loss"]), float(want["itm_loss"]), atol=3e-4, err_msg="itm loss"
+    )
