@@ -61,11 +61,16 @@ class Swin3DConfig:
     # checkpoint parity; False returns the genuinely captured local branch
     # (the paper's stated design).
     faithful_local_branch: bool = True
-    # route window MSA through the fused Pallas kernel
-    # (ops/window_attention.py) — scores+bias+mask+softmax never leave VMEM;
-    # ~11% faster than the XLA path at LF-VILA window sizes on v5e. Non-TPU
-    # backends auto-fall back to the identical-math XLA implementation.
-    use_pallas_attention: bool = True
+    # Optionally route window MSA through the fused Pallas kernel
+    # (ops/window_attention.py). Measured on v5e: the isolated kernel wins
+    # ~11% at N=240, but inside the full encoder XLA's cross-op fusion makes
+    # it a wash (113.5ms XLA vs 116.2ms gated-Pallas vs 168.6ms ungated for
+    # batch-8 32f 192x320) — so the default stays the XLA path, which the
+    # compiler already keeps in VMEM. The kernel remains available for
+    # configs with bigger windows. ``pallas_min_window`` gates tiny
+    # early-stage windows where per-(window, head) micro-kernels lose badly.
+    use_pallas_attention: bool = False
+    pallas_min_window: int = 240
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -369,6 +374,7 @@ class SwinTransformer3D(nn.Module):
                 shift[0] = 0
             for b in range(cfg.depths[i_layer]):
                 blk_shift = (0, 0, 0) if b % 2 == 0 else tuple(shift)
+                window_tokens = window[0] * window[1] * window[2]
                 x = block_cls(
                     dim,
                     cfg.num_heads[i_layer],
@@ -380,7 +386,8 @@ class SwinTransformer3D(nn.Module):
                     cfg.attn_drop_rate,
                     float(dpr[block_idx]),
                     dtype=cfg.dtype,
-                    use_pallas=cfg.use_pallas_attention,
+                    use_pallas=cfg.use_pallas_attention
+                    and window_tokens >= cfg.pallas_min_window,
                     name=f"layers_{i_layer}_blocks_{b}",
                 )(x, deterministic)
                 block_idx += 1
