@@ -27,6 +27,36 @@ def test_retrieval_cli_eval_mode(tmp_path):
     assert (tmp_path / "log" / "args.json").exists()
 
 
+def test_retrieval_cli_device_ingest_matches_host_normalize(tmp_path):
+    """uint8 device-ingest eval must reproduce host-normalized fp32 metrics."""
+    from xpretrain_tpu.cli import run_retrieval_clipvip
+
+    common = [
+        "--mode", "eval",
+        "--dummy_data", "1",
+        "--num_frm", "2",
+        "--crop_img_size", "32",
+        "--max_txt_len", "12",
+        "--val_batch_size", "8",
+        "--train_batch_size", "8",
+        "--num_train_steps", "1",
+        "--clip_size", "tiny",
+        "--validate_at_start", "0",
+        "--seed", "3",
+    ]
+    r_host = run_retrieval_clipvip.main(
+        common + ["--output_dir", str(tmp_path / "host"), "--device_ingest", "0"]
+    )
+    r_dev = run_retrieval_clipvip.main(
+        common + ["--output_dir", str(tmp_path / "dev"), "--device_ingest", "1"]
+    )
+    # same seed -> same init params. Folded-normalization rounding can flip
+    # near-tie ranks of a random-init model; exact u8==f32 numerics are
+    # covered by test_patchify. Allow a couple of rank flips out of 128.
+    for key in ("R1", "R5", "R10"):
+        assert abs(r_host["t2v"][key] - r_dev["t2v"][key]) <= 2.0, key
+
+
 def test_config_preset_merge(tmp_path):
     from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
 

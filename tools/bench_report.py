@@ -70,10 +70,12 @@ def bench_lfvila(quick=False):
     b = 2 if quick else 8
     video = jnp.zeros((b, 3, 32, 192, 320), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), video[:1])
-    fwd = jax.jit(lambda p, v: model.apply(p, v))
+    # reduce on device: fetching full outputs over the device tunnel would
+    # dominate the timing
+    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v)[0].astype(jnp.float32)))
 
     def run():
-        return float(np.asarray(fwd(params, video)[0])[0, 0, 0, 0, 0])
+        return float(np.asarray(fwd(params, video)))
 
     t = median_time(run, warmup=2, iters=5)
     return {"model": "LF-VILA Swin3D/HTWA (32f 192×320)", "batch": b,
@@ -92,10 +94,10 @@ def bench_hdvila(quick=False):
     middle = jnp.zeros((b, clips, 3, 640, 1024), jnp.float32)
     other = jnp.zeros((b, clips, frm - 1, 3, 160, 256), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), middle[:1], other[:1])
-    fwd = jax.jit(lambda p, m, o: model.apply(p, m, o))
+    fwd = jax.jit(lambda p, m, o: jnp.sum(model.apply(p, m, o).astype(jnp.float32)))
 
     def run():
-        return float(np.asarray(fwd(params, middle, other))[0, 0, 0, 0, 0, 0])
+        return float(np.asarray(fwd(params, middle, other)))
 
     t = median_time(run, warmup=2, iters=5)
     return {"model": "HD-VILA hybrid encoder (2×7f, 640×1024 middle)", "batch": b * clips,

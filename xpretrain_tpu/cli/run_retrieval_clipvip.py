@@ -32,15 +32,21 @@ from xpretrain_tpu.utils.logging import LOGGER, setup_logging
 
 
 class _TransformedSynthetic:
-    def __init__(self, size, num_frames, image_size, seed=0):
+    def __init__(self, size, num_frames, image_size, seed=0, device_ingest=False):
         self.ds = SyntheticVideoTextDataset(size, num_frames, image_size, seed)
+        self.device_ingest = device_ingest
 
     def __len__(self):
         return len(self.ds)
 
     def __getitem__(self, i):
+        from xpretrain_tpu.data.transforms import clip_resize_crop_u8
+
         item = self.ds[i]
-        item["video"] = clip_transform(item["frames"], self.ds.image_size)
+        if self.device_ingest:
+            item["video"] = clip_resize_crop_u8(item["frames"], self.ds.image_size)
+        else:
+            item["video"] = clip_transform(item["frames"], self.ds.image_size)
         return item
 
 
@@ -58,16 +64,23 @@ def build_loaders(cfg):
     tok = build_tokenizer_from_cfg(cfg)
     collate = RetrievalCollator(tok, max_txt_len=int(cfg.get("max_txt_len", 70)))
     pi, pc = jax.process_index(), jax.process_count()
+    ingest = bool(cfg.get("device_ingest"))
     if cfg.get("dummy_data"):
-        train_ds = _TransformedSynthetic(512, cfg.num_frm, cfg.crop_img_size, seed=cfg.seed)
-        val_ds = _TransformedSynthetic(128, cfg.num_frm, cfg.crop_img_size, seed=cfg.seed + 1)
+        train_ds = _TransformedSynthetic(
+            512, cfg.num_frm, cfg.crop_img_size, seed=cfg.seed, device_ingest=ingest
+        )
+        val_ds = _TransformedSynthetic(
+            128, cfg.num_frm, cfg.crop_img_size, seed=cfg.seed + 1, device_ingest=ingest
+        )
     else:
         source = FrameSource(cfg.video_root)
         train_ds = VideoRetrievalDataset(
-            cfg.train_annotation, source, cfg.num_frm, cfg.crop_img_size, train=True, seed=cfg.seed
+            cfg.train_annotation, source, cfg.num_frm, cfg.crop_img_size,
+            train=True, seed=cfg.seed, device_ingest=ingest,
         ) if cfg.get("train_annotation") else None
         val_ds = VideoRetrievalDataset(
-            cfg.val_annotation, source, cfg.num_frm, cfg.crop_img_size, train=False
+            cfg.val_annotation, source, cfg.num_frm, cfg.crop_img_size,
+            train=False, device_ingest=ingest,
         )
     train_loader = (
         InfiniteIterator(

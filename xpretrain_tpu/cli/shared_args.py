@@ -31,6 +31,8 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--max_txt_len", type=int, default=70)
     p.add_argument("--train_batch_size", type=int, default=32)
     p.add_argument("--val_batch_size", type=int, default=32)
+    p.add_argument("--device_ingest", type=int, default=0,
+                   help="upload raw uint8 frames; normalize folds into the patch gemm")
     p.add_argument("--tokenizer", type=str, default="hash", help="hash|clip_bpe|wordpiece")
     p.add_argument("--tokenizer_vocab", type=str, default="")
     p.add_argument("--tokenizer_merges", type=str, default="")

@@ -139,6 +139,7 @@ class VideoRetrievalDataset:
         seed: int = 0,
         max_retries: int = 10,
         transform: Callable | None = None,
+        device_ingest: bool = False,
     ):
         rows = (
             load_jsonl(annotation_path)
@@ -152,9 +153,18 @@ class VideoRetrievalDataset:
         self.train = train
         self.seed = seed
         self.max_retries = max_retries
-        self.transform = transform or (
-            lambda frames, rng: clip_transform(frames, image_size, train, rng)
-        )
+        if transform is not None:
+            self.transform = transform
+        elif device_ingest:
+            # geometry-only on host; uint8 to device, normalization folded
+            # into the patch-embedding gemm (ops/patchify.py)
+            from xpretrain_tpu.data.transforms import clip_resize_crop_u8
+
+            self.transform = lambda frames, rng: clip_resize_crop_u8(
+                frames, image_size, train, rng
+            )
+        else:
+            self.transform = lambda frames, rng: clip_transform(frames, image_size, train, rng)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -193,12 +203,12 @@ class RetrievalCollator:
         self.max_txt_len = max_txt_len
 
     def __call__(self, items: Sequence[dict]) -> dict[str, np.ndarray]:
-        video = np.stack([
-            it["video"] if it["video"].ndim == 4 else it["video"] for it in items
-        ]).astype(np.float32)
+        video = np.stack([it["video"] for it in items])
+        if video.dtype != np.uint8:  # uint8 = device-ingest path, keep as-is
+            video = video.astype(np.float32)
         ids, mask = self.tokenizer([it["text"] for it in items], self.max_txt_len)
         return {
-            "video": video,  # [B, T, C, H, W]
+            "video": video,  # [B, T, C, H, W] fp32 or [B, T, H, W, C] uint8
             "text_input_ids": ids,
             "text_input_mask": mask,
             "ids": np.asarray([it["id"] for it in items], dtype=np.int64),

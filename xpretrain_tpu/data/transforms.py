@@ -93,12 +93,26 @@ def clip_transform(
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
     """The CLIP-ViP "simple" pipeline: resize shorter side, crop, normalize."""
+    frames = clip_resize_crop_u8(frames, image_size, train, rng)
+    return normalize(frames, CLIP_MEAN, CLIP_STD)
+
+
+def clip_resize_crop_u8(
+    frames: np.ndarray,
+    image_size: int = 224,
+    train: bool = False,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Geometry-only host transform: resize shorter side + crop, staying
+    uint8 [T, H, W, C]. The device-ingest path: normalization folds into the
+    patch-embedding gemm on device (``ops/patchify.py``), and the host->HBM
+    transfer is 4x smaller than fp32."""
     frames = resize(frames, image_size, "bicubic")
     if train and rng is not None:
         frames = random_crop(frames, image_size, rng)
     else:
         frames = center_crop(frames, image_size)
-    return normalize(frames, CLIP_MEAN, CLIP_STD)
+    return np.ascontiguousarray(frames)
 
 
 def hybrid_res_transform(
