@@ -17,6 +17,39 @@ from xpretrain_tpu.utils.logging import LOGGER
 from xpretrain_tpu.utils.metrics import retrieval_report
 
 
+def evaluate_multichoice_by_similarity(
+    eval_step: Callable,
+    params: Any,
+    loader,
+    valid_len: int | None = None,
+) -> dict[str, float]:
+    """MSR-VTT-MC style eval: a retrieval model scores N candidate texts per
+    video; prediction = argmax similarity (ref ``hd-vila/src/tasks/
+    run_msrvtt_mc.py:145-316``, eval logic ``dataset_video_mc.py:174-194``).
+
+    Batches must carry ``video`` (or the model's visual inputs), text inputs
+    shaped [B, n_choice, L] flattened by the caller's collator to
+    [B*n_choice, L], plus ``labels`` [B].
+    """
+    correct, total = 0, 0
+    for batch in loader:
+        labels = np.asarray(batch.pop("labels"))
+        out = eval_step(params, batch)
+        vis = np.asarray(out["vis_features"], dtype=np.float32)  # [B, D]
+        txt = np.asarray(out["text_features"], dtype=np.float32)  # [B*n_choice, D]
+        n_choice = txt.shape[0] // vis.shape[0]
+        sims = np.einsum(
+            "bd,bcd->bc", vis, txt.reshape(vis.shape[0], n_choice, -1)
+        )
+        pred = sims.argmax(-1)
+        n = len(labels) if valid_len is None else min(len(labels), valid_len - total)
+        correct += int((pred[:n] == labels[:n]).sum())
+        total += n
+    acc = correct / max(total, 1)
+    LOGGER.info("multi-choice accuracy: %.4f (%d samples)", acc, total)
+    return {"accuracy": acc, "n": total}
+
+
 def evaluate_retrieval(
     eval_step: Callable,
     params: Any,
