@@ -28,6 +28,8 @@ KW = dict(
 )
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def hf_bert():
     from transformers import BertConfig as HFBertConfig, BertForPreTraining

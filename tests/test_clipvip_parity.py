@@ -53,6 +53,8 @@ VISION_KW = dict(
 PROJ = 32
 
 
+pytestmark = pytest.mark.slow
+
 def _token_batch(rng, batch=3, seq=10):
     """Input ids whose argmax position is the final (EOT) token."""
     ids = rng.integers(1, 100, size=(batch, seq))

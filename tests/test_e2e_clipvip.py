@@ -25,6 +25,8 @@ from xpretrain_tpu.train.trainer import ClipVipTrainer
 IMG = 32
 
 
+pytestmark = pytest.mark.slow
+
 class TransformedSynthetic:
     def __init__(self, size, num_frames=2, seed=0):
         self.ds = SyntheticVideoTextDataset(size=size, num_frames=num_frames, image_size=IMG, seed=seed)

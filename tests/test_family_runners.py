@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
 def test_lfvila_runner_tiny(tmp_path):
     from xpretrain_tpu.cli import run_pretrain_lfvila
 

@@ -1,5 +1,6 @@
 """GenericTrainer end-to-end with the LF-VILA stage-1 model on the CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
 from xpretrain_tpu.optim import NO_DECAY_LFVILA
 from xpretrain_tpu.train.generic_trainer import GenericTrainer
 
+
+pytestmark = pytest.mark.slow
 
 def test_lfvila_stage1_generic_training(tmp_path):
     model_cfg = LfVilaConfig.tiny(stage=1, sample_clip=4, sample_frame=8)

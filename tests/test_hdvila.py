@@ -27,6 +27,8 @@ from xpretrain_tpu.models.hd_vila.resnet import ResNet  # noqa: E402
 from xpretrain_tpu.models.hd_vila.timesformer import TimeSformer, TimeSformerConfig  # noqa: E402
 
 
+pytestmark = pytest.mark.slow
+
 def _torch_resnet18():
     """Minimal torch ResNet-18 with the standard layout (torchvision names)."""
     import torch.nn as tnn

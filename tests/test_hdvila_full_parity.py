@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 HDVILA_ROOT = "/root/reference/hd-vila"
 
 
+pytestmark = pytest.mark.slow
+
 def _mod(name, **attrs):
     m = types.ModuleType(name)
     m.__spec__ = importlib.machinery.ModuleSpec(name, None)

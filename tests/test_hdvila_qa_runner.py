@@ -1,9 +1,12 @@
 """HD-VILA QA runner: tiny train -> inference restore roundtrip; e2e converter."""
 
+import pytest
 import json
 
 import numpy as np
 
+
+pytestmark = pytest.mark.slow
 
 def _tiny_cfg(tmp_path):
     cfg_json = tmp_path / "tiny.json"

@@ -1,7 +1,10 @@
 """HD-VILA retrieval runner smoke (tiny synthetic)."""
 
+import pytest
 import json
 
+
+pytestmark = pytest.mark.slow
 
 def test_hdvila_retrieval_runner(tmp_path):
     from xpretrain_tpu.cli import run_retrieval_hdvila

@@ -9,6 +9,8 @@ from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
 from xpretrain_tpu.ops.losses import mtc_loss
 
 
+pytestmark = pytest.mark.slow
+
 def _np_xent_ignore(logits, labels):
     logits = np.asarray(logits, dtype=np.float64)
     labels = np.asarray(labels)

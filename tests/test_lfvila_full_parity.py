@@ -29,6 +29,8 @@ from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig  # noqa: E402
 LFVILA_ROOT = "/root/reference/LF-VILA"
 
 
+pytestmark = pytest.mark.slow
+
 def _mod(name, **attrs):
     m = types.ModuleType(name)
     m.__spec__ = importlib.machinery.ModuleSpec(name, None)

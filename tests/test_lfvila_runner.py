@@ -23,6 +23,8 @@ final_num_patches: 1
 # BertConfig factories, so tests shrink via a custom tiny factory flag
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def tiny_yaml(tmp_path):
     p = tmp_path / "tiny.yaml"

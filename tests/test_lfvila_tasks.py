@@ -14,6 +14,8 @@ from xpretrain_tpu.models.lf_vila.tasks import (
 )
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def cfg():
     return LfVilaConfig.tiny(sample_clip=4, sample_frame=8, final_num_patches=1)

@@ -22,6 +22,8 @@ from xpretrain_tpu.models.lf_vila.convert import swin3d_torch_to_flax  # noqa: E
 from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D  # noqa: E402
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def reference_swin():
     path = "/root/reference/LF-VILA/src/models/video_encoder.py"
