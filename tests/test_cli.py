@@ -57,6 +57,33 @@ def test_retrieval_cli_device_ingest_matches_host_normalize(tmp_path):
         assert abs(r_host["t2v"][key] - r_dev["t2v"][key]) <= 2.0, key
 
 
+@__import__('pytest').mark.slow
+def test_pretrain_cli_with_image_branch(tmp_path):
+    """CLIP-ViP pretrain runner: MetaLoader + vsc_fc loss over the synthetic
+    video/subtitle + image/caption branch."""
+    from xpretrain_tpu.cli import run_pretrain_clipvip
+
+    run_pretrain_clipvip.main(
+        [
+            "--dummy_data", "1",
+            "--num_frm", "2",
+            "--crop_img_size", "32",
+            "--max_txt_len", "12",
+            "--train_batch_size", "8",
+            "--num_train_steps", "2",
+            "--clip_size", "tiny",
+            "--loss_name", "NCELearnableTempLoss_vsc_fc",
+            "--output_dir", str(tmp_path),
+            "--log_steps", "1",
+            "--valid_steps", "100",
+            "--save_steps", "100",
+            "--learning_rate", "1e-4",
+            "--bf16", "0",
+        ]
+    )
+    assert (tmp_path / "log" / "args.json").exists()
+
+
 def test_config_preset_merge(tmp_path):
     from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
 

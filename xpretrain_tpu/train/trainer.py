@@ -88,6 +88,8 @@ class ClipVipTrainer:
         # ---- params ----
         if init_params is None:
             sample = next(iter(train_loader))
+            if isinstance(sample, tuple):  # MetaLoader yields (task, batch)
+                _task, sample = sample
             rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
             init_params = self.model.init(
                 rng,
