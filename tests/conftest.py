@@ -23,8 +23,15 @@ if os.environ.get("XPT_TEST_TPU") != "1":
     except Exception:
         pass  # older JAX: XLA_FLAGS path above covers it
 
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# build the native ingest library once per session if missing (idempotent)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_REPO, "native", "build", "libxvr.so")):
+    subprocess.run(["make", "-C", os.path.join(_REPO, "native")], check=False)
 
 
 @pytest.fixture()
