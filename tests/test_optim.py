@@ -55,7 +55,9 @@ def test_schedules_reference_semantics():
                       steps_per_epoch=100, decay_epochs=[2, 5], gamma=0.5)
     assert np.isclose(float(ms(150)), 1.0)
     assert np.isclose(float(ms(250)), 0.5)
-    assert np.isclose(float(ms(600)), 0.25)
+    # past the final milestone the reference skips the len(milestones)
+    # exponent: gamma**(len+1) = 0.125, not 0.25 (sched.py:26-34 quirk)
+    assert np.isclose(float(ms(600)), 0.125)
 
 
 def test_autostep_plateau():

@@ -66,6 +66,21 @@ def test_clip_bpe_batch_layout(clip_assets):
     assert ids[0].argmax() == 3
 
 
+def test_clip_bpe_unicode_word_split(clip_assets):
+    """Non-ASCII letters must hit the \\p{L} word branch, not the punctuation
+    catch-all (ADVICE r1 medium: ASCII-only classes broke non-English parity).
+    """
+    tok = ClipBPETokenizer(*clip_assets)
+    # "héllo wörld" word-splits into two letter tokens (with the accented
+    # chars inside the word), not into letter+punct fragments
+    words = tok.pat.findall("héllo wörld")
+    assert words == ["héllo", "wörld"]
+    # CJK: each ideograph is a letter; no punctuation-run merging
+    assert all(w.strip() for w in tok.pat.findall("你好 世界"))
+    # and encoding still round-trips through byte fallback without crashing
+    assert len(tok.encode("héllo")) >= 1
+
+
 @pytest.fixture()
 def wp_vocab(tmp_path):
     words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",

@@ -79,6 +79,11 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
 
 
 def parse_args(parser: argparse.ArgumentParser, argv=None) -> ConfigDict:
+    # Multi-host init must precede the first backend touch (jax.devices());
+    # every runner funnels through here before building a mesh.
+    from xpretrain_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     cfg = parse_with_config(parser, argv)
     if cfg.get("data_mount_dir"):
         # re-root data paths (the reference's blob_mount / data_mount,

@@ -24,6 +24,15 @@ import os
 import re
 from typing import Iterable, Sequence
 
+try:  # Unicode word classes (\p{L}/\p{N}) need the `regex` module; the
+    # stdlib fallback is ASCII-only and breaks non-Latin caption parity.
+    import regex as _regex
+
+    _HAS_UNICODE_RE = True
+except ImportError:  # pragma: no cover
+    _regex = re
+    _HAS_UNICODE_RE = False
+
 import numpy as np
 
 
@@ -88,12 +97,19 @@ class ClipBPETokenizer:
         self.bot_id = self.encoder["<|startoftext|>"]
         self.eot_id = self.encoder["<|endoftext|>"]
         self.pad_id = 0
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
-        )
+        # HF CLIPTokenizer's word-split pattern; Unicode \p{L}/\p{N} classes
+        # so non-Latin captions tokenize identically to the checkpoints'
+        # training tokenizer (ADVICE r1: the ASCII classes silently diverged).
+        if _HAS_UNICODE_RE:
+            self.pat = _regex.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                _regex.IGNORECASE,
+            )
+        else:  # pragma: no cover - stdlib fallback, ASCII-only
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+                re.IGNORECASE,
+            )
 
     @functools.lru_cache(maxsize=65536)
     def _bpe(self, token: str) -> str:
@@ -131,7 +147,7 @@ class ClipBPETokenizer:
     def encode(self, text: str) -> list[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: list[int] = []
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token).split(" ") if t in self.encoder)
         return ids

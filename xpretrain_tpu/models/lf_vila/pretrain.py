@@ -291,8 +291,12 @@ class LfVilaPretrain(nn.Module):
             out["mlm_loss"] = cfg.mlm_loss_weight * masked_lm_loss(
                 mlm_logits[pos_half], full_labels[pos_half]
             )
-            mask_sel = full_labels != -100
-            correct = (jnp.argmax(mlm_logits, -1) == full_labels) & mask_sel
+            # acc over the same positive half as the loss: the rolled half has
+            # mismatched video context, so scoring it would deflate the metric
+            mask_sel = full_labels[pos_half] != -100
+            correct = (
+                jnp.argmax(mlm_logits[pos_half], -1) == full_labels[pos_half]
+            ) & mask_sel
             out["mlm_acc"] = jnp.sum(correct) / jnp.maximum(jnp.sum(mask_sel), 1)
         else:
             out["mlm_loss"] = jnp.zeros(())

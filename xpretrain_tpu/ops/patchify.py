@@ -126,8 +126,15 @@ def fused_patch_embed(
     if use_pallas:
         try:
             return _pallas_patch_embed(frames_u8, folded_w, bias, patch, out_dtype, interpret)
-        except Exception:  # pragma: no cover - fallback on unsupported backends
-            pass
+        except Exception as e:  # pragma: no cover - fallback on unsupported backends
+            import warnings
+
+            warnings.warn(
+                f"fused_patch_embed pallas kernel failed ({type(e).__name__}: {e}); "
+                "falling back to the XLA path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return _xla_patch_embed(frames_u8, folded_w, bias, patch, out_dtype)
 
 

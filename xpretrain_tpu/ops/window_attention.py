@@ -109,6 +109,15 @@ def window_attention(
     if use_pallas:
         try:
             return window_attention_pallas(q, k, v, bias, mask, interpret)
-        except Exception:  # pragma: no cover
-            pass
+        except Exception as e:  # pragma: no cover
+            # Fallback keeps training alive on unsupported backends, but a
+            # silent one would hide a real kernel regression as a perf change.
+            import warnings
+
+            warnings.warn(
+                f"window_attention_pallas failed ({type(e).__name__}: {e}); "
+                "falling back to the XLA path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return window_attention_xla(q, k, v, bias, mask)

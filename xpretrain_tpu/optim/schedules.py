@@ -62,13 +62,21 @@ def multi_step(
     milestones: Sequence[int],
     gamma: float = 0.5,
 ) -> Schedule:
-    """Epoch-milestone decay (``multi_step_schedule``); epoch derived from step."""
+    """Epoch-milestone decay (``multi_step_schedule``); epoch derived from step.
+
+    Parity quirk reproduced: past the final milestone the reference returns
+    ``gamma**(len(milestones)+1)`` — it skips the ``len(milestones)`` exponent
+    (``CLIP-ViP/src/optimization/sched.py:26-34``, an off-by-one in the
+    original's fall-through). We match it so fine-tune LR curves line up.
+    """
     ms = jnp.asarray(sorted(milestones), jnp.float32)
+    n_ms = len(milestones)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
         epoch = step / jnp.maximum(steps_per_epoch, 1)
         power = jnp.sum(epoch >= ms).astype(jnp.float32)
+        power = jnp.where(power >= n_ms, power + 1.0, power)
         warm = step / jnp.maximum(warmup_steps, 1)
         decay = gamma**power
         return jnp.maximum(learning_rate * jnp.where(step <= warmup_steps, warm, decay), LR_FLOOR)

@@ -21,10 +21,38 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def maybe_init_distributed() -> None:
-    """Initialize jax.distributed when running multi-host (no-op otherwise)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+def maybe_init_distributed(*, _initialize=None) -> None:
+    """Initialize jax.distributed when running multi-host (no-op otherwise).
+
+    Ordering constraint: ``jax.distributed.initialize()`` must run *before*
+    the first backend touch — calling ``jax.devices()`` / ``process_count()``
+    first initializes a single-host local backend, after which multi-host init
+    is silently too late. So the decision here is made from environment
+    variables ONLY (``JAX_COORDINATOR_ADDRESS`` set by the pod launcher, the
+    TPU equivalent of the reference's ``hvd.init()`` /
+    ``deepspeed.init_distributed()`` bootstraps), never from backend queries.
+    Safe to call more than once: a second call is a no-op.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED or not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    init = _initialize if _initialize is not None else jax.distributed.initialize
+    # jax only auto-detects recognized cluster envs (SLURM/OMPI/K8s); a
+    # hand-rolled launch exports these three, so pass them explicitly.
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        init(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
+        init()
+    _DISTRIBUTED_INITIALIZED = True
+
+
+_DISTRIBUTED_INITIALIZED = False
 
 
 def create_mesh(
