@@ -241,3 +241,31 @@ def test_hdvila_multiple_choice(tiny_hdvila):
     params = model.init(jax.random.PRNGKey(0), grid, ids, mask)
     out = model.apply(params, grid, ids, mask)
     assert out["logits"].shape == (2, 5)
+
+
+def test_multiclip_logits_aggregation(tiny_hdvila):
+    """Clip aggregation pools LOGITS (ref run_video_qa.py:270-280): the
+    2-clip mean-agg output must equal the mean of the two single-clip logit
+    sets, and differ from either clip alone."""
+    from xpretrain_tpu.models.hd_vila.modeling import HdVilaForSequenceClassification
+
+    _, model_cfg = tiny_hdvila
+    import dataclasses as dc
+
+    model = HdVilaForSequenceClassification(dc.replace(model_cfg, score_agg_func="mean"), 5)
+    rng = np.random.default_rng(3)
+    grid = jnp.asarray(rng.normal(size=(2, 2, 1, 2, 4, 64)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(2, 1000, size=(2, 8)))
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), grid, ids, mask)
+
+    both = np.asarray(model.apply(params, grid, ids, mask)["logits"])
+    c0 = np.asarray(model.apply(params, grid[:, :1], ids, mask)["logits"])
+    c1 = np.asarray(model.apply(params, grid[:, 1:], ids, mask)["logits"])
+    np.testing.assert_allclose(both, (c0 + c1) / 2, rtol=2e-5, atol=2e-5)
+    assert np.abs(both - c0).max() > 1e-4  # aggregation actually changes scores
+
+    # lse pooling on logits (not features)
+    model_lse = HdVilaForSequenceClassification(dc.replace(model_cfg, score_agg_func="lse"), 5)
+    lse = np.asarray(model_lse.apply(params, grid, ids, mask)["logits"])
+    np.testing.assert_allclose(lse, np.logaddexp(c0, c1), rtol=2e-5, atol=2e-5)

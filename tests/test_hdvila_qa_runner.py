@@ -45,9 +45,13 @@ def test_qa_runner_train_and_inference(tmp_path):
     ]
     report = run_video_qa_hdvila.main(
         common + ["--num_train_steps", "2", "--valid_steps", "2", "--log_steps", "1",
-                  "--learning_rate", "1e-4"]
+                  "--learning_rate", "1e-4",
+                  "--inference_n_clips", "2", "--score_agg_func", "mean"]
     )
     assert 0.0 <= report["accuracy"] <= 1.0
+    # multi-clip inference reports per-question predictions
+    assert len(report["qa_results"]) == report["n"]
+    assert report["qa_results"][0]["question_id"] == 1000
     # standalone inference restores args.json + the best checkpoint
     report2 = run_video_qa_hdvila.main(
         ["--mode", "inference", "--output_dir", out_dir, "--config", _tiny_cfg(tmp_path)]

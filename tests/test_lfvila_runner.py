@@ -66,3 +66,63 @@ def test_lfvila_retrieval_runner(tmp_path, tiny_yaml):
 
     report = run_tasks_lfvila.main(_common(tmp_path, tiny_yaml, "retrieval"))
     assert "t2v" in report
+
+
+def test_lfvila_qa_mc_runner(tmp_path, tiny_yaml):
+    """How2QA multichoice with span loss on synthetic fixtures."""
+    from xpretrain_tpu.cli import run_tasks_lfvila
+
+    report = run_tasks_lfvila.main(
+        _common(tmp_path, tiny_yaml, "qa_mc") + ["--max_num_subtitle", "2"]
+    )
+    assert 0.0 <= report["accuracy"] <= 1.0
+
+
+def test_lfvila_qa_cls_violin_runner(tmp_path, tiny_yaml):
+    from xpretrain_tpu.cli import run_tasks_lfvila
+
+    report = run_tasks_lfvila.main(
+        _common(tmp_path, tiny_yaml, "qa_cls")
+        + ["--qa_dataset", "violin", "--num_labels", "2", "--max_num_subtitle", "2"]
+    )
+    assert 0.0 <= report["accuracy"] <= 1.0
+
+
+def test_lfvila_qa_mc_annotation_backed(tmp_path, tiny_yaml):
+    """Full real-data path: jsonl rows + npy frame store through the runner."""
+    import json
+
+    import numpy as np
+
+    from xpretrain_tpu.cli import run_tasks_lfvila
+
+    vid_dir = tmp_path / "videos"
+    vid_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for vid in ("clipA", "clipB"):
+        np.save(vid_dir / f"{vid}.npy",
+                rng.integers(0, 256, size=(24, 110, 180, 3), dtype=np.uint8))
+    rows = [
+        {
+            "clip_id": ["clipA", "clipB"][i % 2],
+            "span": [1.0, 4.0],
+            "text_q": "what happens",
+            "text_a": ["a", "b", "c", "d"],
+            "text_s": [{"text": "sub one", "start": 0.0, "end": 4.0}],
+            "answer_idx": i % 4,
+        }
+        for i in range(8)  # batch must divide the 8-device test mesh
+    ]
+    ann = tmp_path / "how2qa.jsonl"
+    ann.write_text("\n".join(json.dumps(r) for r in rows))
+
+    args = _common(tmp_path, tiny_yaml, "qa_mc")
+    args.remove("--dummy_data"); args.remove("1")
+    args += [
+        "--train_annotation", str(ann),
+        "--val_annotation", str(ann),
+        "--video_root", str(vid_dir),
+        "--max_num_subtitle", "2",
+    ]
+    report = run_tasks_lfvila.main(args)
+    assert 0.0 <= report["accuracy"] <= 1.0

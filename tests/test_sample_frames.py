@@ -93,3 +93,24 @@ def test_multi_clip_budget_split():
     assert sum(len(o) for o in out) == 32
     for counts, o in zip([100, 80, 90, 50], out):
         assert o.max() < counts
+
+
+def test_spread_center_neighbor_sample():
+    from xpretrain_tpu.data.sample_frames import spread_center_neighbor_sample
+
+    # eval: clips spread across the video, not duplicated at the center
+    clips = spread_center_neighbor_sample(360, 4, 3, 12, test_mode=True)
+    assert len(clips) == 4
+    middles = [c[1] for c in clips]
+    assert len(set(middles)) == 4, "eval clips must cover distinct positions"
+    assert middles == sorted(middles)
+    for c in clips:
+        assert c[1] - c[0] == 12 and c[2] - c[1] == 12  # neighbor spacing
+    # train: random distinct middles, in range
+    rng = np.random.default_rng(0)
+    tr = spread_center_neighbor_sample(360, 4, 3, 12, rng)
+    assert len({c[1] for c in tr}) == 4
+    assert all((c >= 0).all() and (c < 360).all() for c in tr)
+    # short video: sample rate shrinks instead of crashing
+    short = spread_center_neighbor_sample(10, 3, 3, 12, test_mode=True)
+    assert all((c >= 0).all() and (c < 10).all() for c in short)

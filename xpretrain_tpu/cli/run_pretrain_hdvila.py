@@ -108,6 +108,7 @@ def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
         stage=int(cfg.get("stage", 1)),
         pixel_random_sampling_size=int(cfg.get("pixel_random_sampling_size", 160)),
         temp=float(cfg.get("temp", 0.05)),
+        score_agg_func=cfg.get("score_agg_func", "mean"),
         dtype=dtype,
     )
     return enc, model

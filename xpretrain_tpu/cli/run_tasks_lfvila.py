@@ -22,6 +22,16 @@ from xpretrain_tpu.data.datasets_lfvila import (
     LfVilaPretrainDataset,
     LfVilaRetrievalDataset,
 )
+from xpretrain_tpu.data.datasets_lfvila_tasks import (
+    ActnetQACollator,
+    ActnetQADataset,
+    How2QACollator,
+    How2QADataset,
+    VideoClsCollator,
+    VideoClsDataset,
+    ViolinCollator,
+    ViolinDataset,
+)
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator, SequentialEvalLoader
 from xpretrain_tpu.data.tokenization import build_tokenizer
 from xpretrain_tpu.models.lf_vila.tasks import (
@@ -38,34 +48,6 @@ from xpretrain_tpu.train.generic_trainer import GenericTrainer
 from xpretrain_tpu.train.evaluate import evaluate_retrieval
 from xpretrain_tpu.utils.basic import load_jsonl, save_json
 from xpretrain_tpu.utils.logging import LOGGER, setup_logging
-
-
-class _MCCollator:
-    """Per-choice per-sentence tokenization [B, n_choice, M, L]."""
-
-    def __init__(self, tokenizer, n_choice: int, sample_clip: int, max_sent_len: int):
-        self.tok = tokenizer
-        self.n_choice = n_choice
-        self.sample_clip = sample_clip
-        self.max_sent_len = max_sent_len
-
-    def __call__(self, items):
-        B = len(items)
-        flat = []
-        for it in items:
-            for choice in it["choices"]:
-                sents = (it["sentences"] + [choice])[: self.sample_clip]
-                while len(sents) < self.sample_clip:
-                    sents.append("")
-                flat.extend(sents)
-        ids, mask = self.tok(flat, self.max_sent_len)
-        shape = (B, self.n_choice, self.sample_clip, self.max_sent_len)
-        return {
-            "video_frames": np.stack([it["video_frames"] for it in items]).astype(np.float32),
-            "text_ids": ids.reshape(shape),
-            "attention_mask": mask.reshape(shape),
-            "labels": np.asarray([it["label"] for it in items], np.int64),
-        }
 
 
 def _synth_video_ds(cfg, with_choices=False, n_choice=3, num_labels=10):
@@ -88,6 +70,26 @@ def _synth_video_ds(cfg, with_choices=False, n_choice=3, num_labels=10):
     return _WithLabels()
 
 
+def _task_datasets(cfg, ds_cls, **extra):
+    """(train, val) benchmark datasets — synthetic fixtures under
+    ``--dummy_data``, jsonl-annotation-backed otherwise."""
+    common = dict(
+        sample_frame=cfg.sample_frame,
+        input_hw=tuple(cfg.input_hw),
+        seed=cfg.seed,
+        **extra,
+    )
+    if cfg.get("dummy_data"):
+        rows = [{} for _ in range(256)]
+        train = ds_cls(rows, None, train=True, synthetic=True, **common)
+        val = ds_cls(rows, None, train=False, synthetic=True, **common)
+        return train, val
+    source = FrameSource(cfg.video_root)
+    train = ds_cls(load_jsonl(cfg.train_annotation), source, train=True, **common)
+    val = ds_cls(load_jsonl(cfg.val_annotation), source, train=False, **common)
+    return train, val
+
+
 def main(argv=None):
     parser = build_shared_parser("LF-VILA downstream tasks")
     parser.add_argument("--task", type=str, required=True,
@@ -95,8 +97,18 @@ def main(argv=None):
     parser.add_argument("--sample_frame", type=int, default=32)
     parser.add_argument("--sample_clip", type=int, default=4)
     parser.add_argument("--input_hw", type=int, nargs=2, default=[192, 320])
-    parser.add_argument("--num_labels", type=int, default=1000)
-    parser.add_argument("--num_options", type=int, default=5)
+    parser.add_argument("--num_labels", type=int, default=0,
+                        help="0 = benchmark default (how2qa 4-way; violin 2; "
+                             "actnet 1654; video_cls 180)")
+    parser.add_argument("--num_options", type=int, default=4)
+    parser.add_argument("--qa_dataset", type=str, default="",
+                        choices=["", "how2qa", "violin", "actnet"],
+                        help="benchmark row format for qa tasks (qa_mc -> how2qa; "
+                             "qa_cls -> violin|actnet, default actnet)")
+    parser.add_argument("--max_num_subtitle", type=int, default=6)
+    parser.add_argument("--use_span_loss", type=int, default=1,
+                        help="how2qa temporal span loss (ref how2_qa.yaml:72)")
+    parser.add_argument("--span_loss_weight", type=float, default=1.0)
     cfg = parse_args(parser, argv)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
@@ -121,22 +133,35 @@ def main(argv=None):
                                             cfg.sample_frame, cfg.sample_clip, tuple(cfg.input_hw))
         args_of = lambda b: (b["video_frames"], b["text_ids"], b["attention_mask"])
     elif cfg.task == "qa_mc":
+        # How2QA: 4-way multichoice with subtitles + temporal span labels
+        # (ref LF-VILA/src/datasets/how2qa_dataset.py, configs/how2_qa.yaml)
         model = LfVilaQAMultichoice(model_cfg)
-        collate = _MCCollator(tok, cfg.num_options, cfg.sample_clip, max_sent)
-        train_ds = _synth_video_ds(cfg, with_choices=True, n_choice=cfg.num_options)
-        val_ds = train_ds
+        collate = How2QACollator(tok, max_sent, cfg.max_num_subtitle)
+        train_ds, val_ds = _task_datasets(
+            cfg, How2QADataset, max_num_subtitle=cfg.max_num_subtitle
+        )
         args_of = lambda b: (b["video_frames"], b["text_ids"], b["attention_mask"])
     elif cfg.task == "qa_cls":
-        model = LfVilaQAClassification(model_cfg, num_labels=cfg.num_labels)
-        collate = LfVilaPretrainCollator(tok, max_sent_len=max_sent, mlm=False)
-        train_ds = _synth_video_ds(cfg, num_labels=cfg.num_labels)
-        val_ds = train_ds
+        # VIOLIN (binary statement verification) or ActivityNet-QA
+        # (answer-vocab classification) — both drive LfVilaQAClassification
+        # (ref run_qa.py:107-110 qa_type=='classification')
+        qa_ds = cfg.qa_dataset or "actnet"
+        num_labels = cfg.num_labels or {"violin": 2, "actnet": 1654}[qa_ds]
+        model = LfVilaQAClassification(model_cfg, num_labels=num_labels)
+        if qa_ds == "violin":
+            collate = ViolinCollator(tok, max_sent, min(cfg.max_num_subtitle, 4))
+            train_ds, val_ds = _task_datasets(
+                cfg, ViolinDataset, max_num_subtitle=min(cfg.max_num_subtitle, 4)
+            )
+        else:
+            collate = ActnetQACollator(tok, max_sent)
+            train_ds, val_ds = _task_datasets(cfg, ActnetQADataset, num_labels=num_labels)
         args_of = lambda b: (b["video_frames"], b["text_ids"], b["attention_mask"])
-    else:  # video_cls
-        model = LfVilaVideoClassification(model_cfg, num_labels=cfg.num_labels)
-        collate = LfVilaPretrainCollator(tok, max_sent_len=max_sent, mlm=False)
-        train_ds = _synth_video_ds(cfg, num_labels=cfg.num_labels)
-        val_ds = train_ds
+    else:  # video_cls (COIN/LVU, ref video_classification_dataset.py)
+        num_labels = cfg.num_labels or 180
+        model = LfVilaVideoClassification(model_cfg, num_labels=num_labels)
+        collate = VideoClsCollator()
+        train_ds, val_ds = _task_datasets(cfg, VideoClsDataset, num_labels=num_labels)
         args_of = lambda b: (b["video_frames"],)
 
     def collate_with_labels(items):
@@ -166,13 +191,21 @@ def main(argv=None):
 
     def apply_fn(p, batch, rng):
         kwargs = {} if cfg.task == "retrieval" else {"labels": batch["labels"]}
-        return model.apply(
+        if cfg.task == "qa_mc" and cfg.use_span_loss and "span_labels" in batch:
+            kwargs["span_labels"] = batch["span_labels"]
+            kwargs["span_label_weights"] = batch["span_label_weights"]
+        out = model.apply(
             {"params": p}, *args_of(batch), deterministic=False, rngs={"dropout": rng}, **kwargs
         )
+        if "span_loss" in out:
+            # total = choice loss + weighted temporal span loss
+            # (ref trainer_qa_multichoice.py:190-196)
+            out["loss"] = out["loss"] + cfg.span_loss_weight * out["span_loss"]
+        return out
 
     trainer = GenericTrainer(
         cfg, apply_fn, params, train_loader,
-        metric_keys=("acc", "ct_global_loss"),
+        metric_keys=("acc", "ct_global_loss", "span_loss", "span_acc"),
         no_decay_patterns=NO_DECAY_LFVILA,
     )
     state = trainer.train()

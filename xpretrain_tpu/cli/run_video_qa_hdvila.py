@@ -64,8 +64,11 @@ class HdVilaQAModel(nn.Module):
 
 
 def build_qa_data(cfg, tok):
+    """Train loader samples ``train_n_clips`` random windows; the val loader
+    spreads ``inference_n_clips`` windows evenly over each video so the
+    model's in-forward score aggregation covers the whole clip (the
+    reference's multi-clip inference, ``run_video_qa.py:263-280``)."""
     loader_args = dict(
-        n_clips=cfg.train_n_clips,
         num_frm=cfg.num_frm,
         sample_rate=cfg.sample_rate or 12,
         crop_hw=tuple(cfg.get("crop_size", (640, 1024))),
@@ -73,13 +76,20 @@ def build_qa_data(cfg, tok):
     mc = cfg.task_type in MC_TASKS
     collate = HdVilaQACollator(tok, max_txt_len=int(cfg.get("max_txt_len", 40)), multiple_choice=mc)
     pi, pc = jax.process_index(), jax.process_count()
+    inf_clips = int(cfg.get("inference_n_clips", 1))
     if cfg.get("dummy_data"):
-        clip_loader = HdVilaClipLoader(None, synthetic_seed=cfg.seed, **loader_args)
+        clip_loader = HdVilaClipLoader(
+            None, n_clips=cfg.train_n_clips, synthetic_seed=cfg.seed, **loader_args
+        )
+        val_clip_loader = HdVilaClipLoader(
+            None, n_clips=inf_clips, synthetic_seed=cfg.seed, **loader_args
+        )
         n_opt = int(cfg.get("num_options", 5))
         rows = [
             {
                 "clip_id": f"c{i}",
                 "question": f"question {i}",
+                "question_id": 1000 + i,
                 "options": [f"opt {j}" for j in range(n_opt)],
                 "label": i % n_opt if mc else i % cfg.get("num_labels", 2),
                 "answer": "a",
@@ -87,23 +97,37 @@ def build_qa_data(cfg, tok):
             for i in range(256)
         ]
         train_ds = HdVilaQADataset(None, clip_loader, cfg.task_type, rows=rows, train=True, seed=cfg.seed)
-        val_ds = HdVilaQADataset(None, clip_loader, cfg.task_type, rows=rows[:64])
+        val_ds = HdVilaQADataset(None, val_clip_loader, cfg.task_type, rows=rows[:64])
     else:
-        clip_loader = HdVilaClipLoader(FrameSource(cfg.video_root), **loader_args)
+        source = FrameSource(cfg.video_root)
+        clip_loader = HdVilaClipLoader(source, n_clips=cfg.train_n_clips, **loader_args)
+        val_clip_loader = HdVilaClipLoader(source, n_clips=inf_clips, **loader_args)
         vocab = load_json(cfg.answer_vocab) if cfg.get("answer_vocab") else None
         train_ds = HdVilaQADataset(cfg.train_annotation, clip_loader, cfg.task_type,
                                    answer_vocab=vocab, train=True, seed=cfg.seed)
-        val_ds = HdVilaQADataset(cfg.val_annotation, clip_loader, cfg.task_type, answer_vocab=vocab)
+        val_ds = HdVilaQADataset(cfg.val_annotation, val_clip_loader, cfg.task_type,
+                                 answer_vocab=vocab)
     train_loader = InfiniteIterator(
         BatchLoader(train_ds, cfg.train_batch_size, collate, seed=cfg.seed,
                     process_index=pi, process_count=pc)
     )
     val_loader = SequentialEvalLoader(val_ds, cfg.val_batch_size, collate,
                                       process_index=pi, process_count=pc)
-    return train_loader, val_loader
+    return train_loader, val_loader, val_ds
 
 
-def evaluate_qa(model, params, val_loader, mesh):
+# TGIF/MSRVTT open-ended QA report per-answer-type accuracy
+# (ref dataset_video_qa.py:199-253 evaluate_tgif_qa)
+ANSWER_TYPE2IDX = {
+    "frameqa": {"object": 0, "number": 1, "color": 2, "location": 3},
+    "msrvtt_qa": {k: i for i, k in enumerate(["what", "who", "how", "where", "when"])},
+}
+
+
+def evaluate_qa(model, params, val_loader, mesh, val_ds=None, task_type="open"):
+    """Accuracy + per-question predictions (+ per-answer-type breakdown for
+    open-ended TGIF/MSRVTT tasks). Clip-score aggregation already happened
+    inside the model forward, so each eval row is one question."""
     from xpretrain_tpu.parallel.mesh import shard_host_batch
     from xpretrain_tpu.parallel.train_step import make_eval_step
 
@@ -114,18 +138,40 @@ def evaluate_qa(model, params, val_loader, mesh):
         ),
         mesh,
     )
-    correct, total = 0, 0
+    preds, golds, row_ids = [], [], []
+    total = 0
     for batch in val_loader:
         labels = batch.pop("labels")
         ids = batch.pop("ids")
         out = eval_step(params, shard_host_batch(batch, mesh))
         pred = np.argmax(np.asarray(out["logits"]), -1)
         n = min(len(labels), val_loader.valid_len - total)
-        correct += int((pred[:n] == labels[:n]).sum())
+        preds.extend(pred[:n].tolist())
+        golds.extend(np.asarray(labels[:n]).tolist())
+        row_ids.extend(np.asarray(ids[:n]).tolist())
         total += n
-    acc = correct / max(total, 1)
+    preds_arr = np.asarray(preds)
+    golds_arr = np.asarray(golds)
+    acc = float((preds_arr == golds_arr).mean()) if total else 0.0
     LOGGER.info("QA accuracy: %.4f (%d samples)", acc, total)
-    return {"accuracy": acc, "score": acc, "n": total}
+    report = {"accuracy": acc, "score": acc, "n": total}
+    if val_ds is not None:
+        rows = val_ds.rows
+        report["qa_results"] = [
+            {"question_id": rows[i].get("question_id", int(i)), "answer": int(p)}
+            for i, p in zip(row_ids, preds)
+        ]
+        type_map = ANSWER_TYPE2IDX.get(task_type)
+        if type_map:
+            types = np.asarray(
+                [type_map.get(str(rows[i].get("answer_type", "")), -1) for i in row_ids]
+            )
+            for name, idx in type_map.items():
+                sel = types == idx
+                if sel.any():
+                    report[f"{name}_acc"] = float((preds_arr[sel] == golds_arr[sel]).mean())
+                    report[f"{name}_ratio"] = float(sel.mean())
+    return report
 
 
 def main(argv=None):
@@ -135,6 +181,11 @@ def main(argv=None):
     parser.add_argument("--num_labels", type=int, default=2)
     parser.add_argument("--num_options", type=int, default=5)
     parser.add_argument("--train_n_clips", type=int, default=2)
+    parser.add_argument("--inference_n_clips", type=int, default=1,
+                        help="clips spread over the video at eval; scores "
+                             "aggregated in-model (ref run_video_qa.py:263)")
+    parser.add_argument("--score_agg_func", type=str, default="mean",
+                        choices=["mean", "max", "lse"])
     parser.add_argument("--answer_vocab", type=str, default="")
     parser.add_argument("--inference_model_step", type=int, default=-1)
     cfg = parse_args(parser, argv)
@@ -155,7 +206,7 @@ def main(argv=None):
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
     model = HdVilaQAModel(enc_cfg, model_cfg, cfg.task_type, int(cfg.num_labels))
     tok = build_tokenizer(cfg.get("tokenizer", "hash"))
-    train_loader, val_loader = build_qa_data(cfg, tok)
+    train_loader, val_loader, val_ds = build_qa_data(cfg, tok)
 
     sample = next(iter(train_loader))
     params = model.init(
@@ -192,18 +243,21 @@ def main(argv=None):
         if restored:
             params = restored["params"]
             LOGGER.info("restored best model (score %.4f)", float(restored["score"]))
-        report = evaluate_qa(model, params, val_loader, create_mesh())
+        report = evaluate_qa(model, params, val_loader, create_mesh(),
+                             val_ds=val_ds, task_type=cfg.task_type)
         save_json(report, f"{cfg.output_dir}/inference_report.json", pretty=True)
         return report
 
     save_training_meta(cfg.output_dir, cfg)
     trainer = GenericTrainer(
         cfg, apply_fn, params, train_loader,
-        eval_fn=lambda p: evaluate_qa(model, p, val_loader, trainer.mesh),
+        eval_fn=lambda p: evaluate_qa(model, p, val_loader, trainer.mesh,
+                                      val_ds=val_ds, task_type=cfg.task_type),
         metric_keys=("acc",),
     )
     state = trainer.train()
-    report = evaluate_qa(model, state.params, val_loader, trainer.mesh)
+    report = evaluate_qa(model, state.params, val_loader, trainer.mesh,
+                         val_ds=val_ds, task_type=cfg.task_type)
     save_json(report, f"{cfg.output_dir}/final_report.json", pretty=True)
     return report
 

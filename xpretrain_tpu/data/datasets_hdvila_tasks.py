@@ -15,7 +15,7 @@ from typing import Any, Sequence
 import numpy as np
 
 from xpretrain_tpu.data.datasets import FrameSource
-from xpretrain_tpu.data.sample_frames import center_neighbor_sample
+from xpretrain_tpu.data.sample_frames import spread_center_neighbor_sample
 from xpretrain_tpu.data.transforms import hybrid_res_transform, resize
 from xpretrain_tpu.utils.basic import load_json, load_jsonl
 from xpretrain_tpu.utils.logging import LOGGER
@@ -47,17 +47,30 @@ class HdVilaClipLoader:
         self.synthetic_seed = synthetic_seed
 
     def load(self, clip_id: str, rng, train: bool) -> tuple[np.ndarray, np.ndarray]:
+        """-> (img_middle [n_clips, 3, H, W], img_other [n_clips, T-1, 3, H/4, W/4]).
+
+        The n_clips windows are spread over the video: random middles at
+        train time, an even stride at eval — so ``inference_n_clips`` covers
+        the whole video, the precondition for the reference's multi-clip
+        score aggregation (``dataset_video_qa.py:79-100``).
+        """
+        if self.synthetic_seed is not None:
+            h, w = self.crop_hw
+            index_lists = [None] * self.n_clips
+        else:
+            total = self.source.total_frames(clip_id)
+            index_lists = spread_center_neighbor_sample(
+                total, self.n_clips, self.num_frm, self.sample_rate, rng,
+                test_mode=not train,
+            )
         middles, others = [], []
-        for _ in range(self.n_clips):
+        for ci, inds in enumerate(index_lists):
             if self.synthetic_seed is not None:
-                h, w = self.crop_hw
-                sr = np.random.default_rng((self.synthetic_seed, hash(clip_id) % (2**31)))
+                sr = np.random.default_rng(
+                    (self.synthetic_seed, hash(clip_id) % (2**31), ci)
+                )
                 frames = sr.integers(0, 256, (self.num_frm, h, w, 3), dtype=np.uint8)
             else:
-                total = self.source.total_frames(clip_id)
-                inds, _ = center_neighbor_sample(
-                    total, self.num_frm, self.sample_rate, rng, test_mode=not train
-                )
                 frames = self.source.load(clip_id, inds)
                 if self.low_res_source:
                     # low-res source: upscale x4 so the middle frame is

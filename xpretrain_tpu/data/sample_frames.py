@@ -176,3 +176,66 @@ def multi_clip_sample(
         uniform_sample_with_jitter(max(n, 1), c, rng=rng, test_mode=test_mode)
         for n, c in zip(clip_frame_counts, counts)
     ]
+
+
+def span_jitter_linspace_sample(
+    total_frames: int,
+    num_frames: int,
+    rng: np.random.Generator | None = None,
+    test_mode: bool = False,
+) -> np.ndarray:
+    """Linspace over the full video with jittered endpoints at train time.
+
+    The LF-VILA downstream-task read pattern (``how2qa_dataset.py:57-66``,
+    identical in violin/actnet/video-classification): eval is an exact
+    ``linspace(0, T-1, n)``; train draws a random start in the first
+    inter-frame interval and a random end in the last, then linspaces
+    between them.
+    """
+    total_frames = max(int(total_frames), 1)
+    if test_mode or rng is None or total_frames <= num_frames:
+        return np.linspace(0, total_frames - 1, num_frames).astype(np.int64)
+    interval = int(total_frames / max(num_frames - 1, 1))
+    start = int(rng.integers(0, interval + 1))
+    lo = max(total_frames - 1 - interval, start + 1)
+    end = int(rng.integers(lo, max(total_frames, lo + 1)))
+    return np.linspace(start, end, num_frames).astype(np.int64)
+
+
+def spread_center_neighbor_sample(
+    total_frames: int,
+    n_clips: int,
+    num_frames: int,
+    sample_rate: int,
+    rng: np.random.Generator | None = None,
+    test_mode: bool = False,
+) -> list[np.ndarray]:
+    """n_clips center+neighbor windows over ONE video.
+
+    The HD-VILA QA/retrieval eval pattern (``dataset_video_qa.py:79-100``):
+    middle frames are drawn without replacement from the valid span at train
+    time, and spread at an even stride across it at inference, so
+    ``inference_n_clips`` clips cover the whole video instead of re-sampling
+    the same center. The sample rate shrinks when the video is too short.
+    Returns one [num_frames] index array per clip (middle at num_frames//2).
+    """
+    total_frames = max(int(total_frames), 1)
+    neighbor = (num_frames - 1) // 2
+    sr = sample_rate
+    if neighbor and total_frames < 2 * neighbor * sr + n_clips:
+        sr = max((total_frames - n_clips) // (2 * neighbor), 0)
+    lo, hi = neighbor * sr, total_frames - neighbor * sr
+    valid = np.arange(lo, max(hi, lo + 1))
+    if test_mode or rng is None:
+        stride = max(len(valid) // n_clips, 1)
+        middles = valid[::stride][:n_clips]
+    else:
+        k = min(n_clips, len(valid))
+        middles = np.sort(rng.choice(valid, size=k, replace=False))
+    middles = list(middles)
+    while len(middles) < n_clips:
+        middles.append(middles[-1])
+    offsets = (np.arange(num_frames) - num_frames // 2) * sr
+    return [
+        np.clip(int(m) + offsets, 0, total_frames - 1).astype(np.int64) for m in middles
+    ]

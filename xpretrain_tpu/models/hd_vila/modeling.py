@@ -294,9 +294,13 @@ class HdVilaForSequenceClassification(nn.Module):
         _, pooled2 = self.bert_model.forward_stage2(
             text_rep, vis_flat, mask_rep, None, deterministic
         )
-        pooled = _agg_clips(pooled2.reshape(clips, B, -1), self.config.score_agg_func)
-        pooled = self.dropout(pooled, deterministic=deterministic)
-        return {"logits": self.classifier(pooled)}
+        # clip aggregation happens on LOGITS, matching the reference's eval
+        # pooling (run_video_qa.py:270-280 pools model logits with
+        # score_agg_func before argmax) — pooling features pre-MLP would
+        # differ for max/lse and for the nonlinear classifier.
+        pooled = self.dropout(pooled2, deterministic=deterministic)
+        logits = self.classifier(pooled).reshape(clips, B, -1)
+        return {"logits": _agg_clips(logits, self.config.score_agg_func)}
 
 
 class HdVilaForMultipleChoice(nn.Module):
@@ -332,9 +336,10 @@ class HdVilaForMultipleChoice(nn.Module):
         _, pooled2 = self.bert_model.forward_stage2(
             text_rep, vis_flat, mask_rep, None, deterministic
         )
-        pooled = _agg_clips(pooled2.reshape(clips, B * n_choice, -1), self.config.score_agg_func)
-        pooled = self.dropout(pooled, deterministic=deterministic)
-        logits = self.classifier(pooled).reshape(B, n_choice)
+        # logits-level clip aggregation (see HdVilaForSequenceClassification)
+        pooled = self.dropout(pooled2, deterministic=deterministic)
+        logits = self.classifier(pooled).reshape(clips, B * n_choice)
+        logits = _agg_clips(logits, self.config.score_agg_func).reshape(B, n_choice)
         return {"logits": logits}
 
 
@@ -363,8 +368,9 @@ class HdVilaForRegression(nn.Module):
         _, pooled2 = self.bert_model.forward_stage2(
             text_rep, vis_flat, mask_rep, None, deterministic
         )
-        pooled = _agg_clips(pooled2.reshape(clips, B, -1), self.config.score_agg_func)
-        return {"logits": self.regressor(pooled)[:, 0]}
+        # logits-level clip aggregation (see HdVilaForSequenceClassification)
+        logits = self.regressor(pooled2).reshape(clips, B)
+        return {"logits": _agg_clips(logits, self.config.score_agg_func)}
 
 
 class HdVilaForVideoTextRetrieval(nn.Module):
@@ -394,8 +400,9 @@ class HdVilaForVideoTextRetrieval(nn.Module):
         _, pooled2 = self.bert_model.forward_stage2(
             text_rep, vis_flat, mask_rep, None, deterministic
         )
-        pooled = _agg_clips(pooled2.reshape(clips, B, -1), self.config.score_agg_func)
-        logits = self.classifier(pooled)[:, 0]
+        # logits-level clip aggregation (see HdVilaForSequenceClassification)
+        logits = self.classifier(pooled2).reshape(clips, B)
+        logits = _agg_clips(logits, self.config.score_agg_func)
         visual_pooled = visual_inputs.mean(axis=(1, 2, 3, 4))
         return {
             "logits": logits,
