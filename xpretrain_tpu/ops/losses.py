@@ -62,8 +62,8 @@ def triplet_loss(
     """``TripletContrastiveLoss``: margin ranking over both directions."""
     scores = (im @ s.T).astype(jnp.float32)
     diag = jnp.diagonal(scores)
-    cost_s = jnp.clip(margin + scores - diag[:, None], a_min=0.0)
-    cost_im = jnp.clip(margin + scores - diag[None, :], a_min=0.0)
+    cost_s = jnp.clip(margin + scores - diag[:, None], min=0.0)
+    cost_im = jnp.clip(margin + scores - diag[None, :], min=0.0)
     eye = jnp.eye(scores.shape[0], dtype=bool)
     cost_s = jnp.where(eye, 0.0, cost_s)
     cost_im = jnp.where(eye, 0.0, cost_im)
