@@ -118,6 +118,10 @@ def main(argv=None):
     parser = build_shared_parser("HD-VILA pretraining")
     parser.add_argument("--stage", type=int, default=1, choices=[1, 2])
     parser.add_argument("--train_n_clips", type=int, default=2)
+    parser.add_argument("--use_mlm", type=int, default=1)
+    parser.add_argument("--use_itm", type=int, default=1,
+                        help="stage-2 ITM; the reference stage-2 recipe "
+                             "disables it (pretrain_stage2.json use_itm: 0)")
     cfg = parse_args(parser, argv)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
@@ -126,8 +130,10 @@ def main(argv=None):
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
     tok = build_tokenizer(cfg.get("tokenizer", "hash"))
     stage2 = model_cfg.stage == 2
+    use_mlm = stage2 and bool(cfg.get("use_mlm", 1))
+    use_itm = stage2 and bool(cfg.get("use_itm", 1))
     collate = HdVilaPretrainCollator(
-        tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=stage2, itm=stage2, seed=cfg.seed
+        tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=use_mlm, itm=use_itm, seed=cfg.seed
     )
     pi, pc = jax.process_index(), jax.process_count()
     crop = tuple(cfg.get("crop_size", (640, 1024)))
@@ -147,11 +153,10 @@ def main(argv=None):
     )
     sample = next(iter(loader))
     kwargs = {}
-    if stage2:
-        kwargs = dict(
-            mlm_labels=jnp.asarray(sample["mlm_labels"][:1]),
-            itm_labels=jnp.asarray(sample["itm_labels"][:1]),
-        )
+    if use_mlm:
+        kwargs["mlm_labels"] = jnp.asarray(sample["mlm_labels"][:1])
+    if use_itm:
+        kwargs["itm_labels"] = jnp.asarray(sample["itm_labels"][:1])
     params = model.init(
         jax.random.PRNGKey(cfg.seed),
         jnp.asarray(sample["img_middle"][:1]),
@@ -163,12 +168,12 @@ def main(argv=None):
 
     def apply_fn(p, batch, rng):
         extra = {}
+        if use_mlm:
+            extra["mlm_labels"] = batch["mlm_labels"]
+        if use_itm:
+            extra["itm_labels"] = batch["itm_labels"]
         if stage2:
-            extra = dict(
-                mlm_labels=batch["mlm_labels"],
-                itm_labels=batch["itm_labels"],
-                sample_rng=rng,
-            )
+            extra["sample_rng"] = rng
         return model.apply(
             {"params": p},
             batch["img_middle"],

@@ -160,7 +160,12 @@ class HdVilaQADataset:
         if self.task_type in ("action", "transition", "mc"):
             item["options"] = [f"{item['question']} {opt}" for opt in row["options"]]
             item["label"] = int(row.get("label", row.get("answer", 0)))
+        elif "label" in row:  # pre-resolved integer label (synthetic fixtures,
+            # pre-mapped annotation dumps)
+            item["label"] = int(row["label"])
         else:
+            # unknown answers stay -1: never equal to an argmax prediction, so
+            # they count as wrong at eval (the reference filters them upstream)
             answer = str(row.get("answer", ""))
             item["label"] = int(self.answer_vocab.get(answer, -1))
         return item
