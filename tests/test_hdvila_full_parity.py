@@ -170,6 +170,23 @@ def test_full_hdvila_stage1_parity(reference_hdvila):
     converted = hdvila_e2e_torch_to_flax(ref.state_dict())
     params = {"encoder": converted["encoder"], "transformer": converted["transformer"]}
 
+    # torch -> flax -> torch round-trip: every exported key must exist in the
+    # reference state dict with identical values (VERDICT r1 item 10)
+    from xpretrain_tpu.models.export import hdvila_e2e_flax_to_torch
+    _sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    _exported = hdvila_e2e_flax_to_torch(params)
+    assert _exported, "export produced nothing"
+    for _k, _v in _exported.items():
+        assert _k in _sd, f"exported unknown key {_k}"
+        np.testing.assert_allclose(_v, _sd[_k], rtol=1e-6, atol=1e-6, err_msg=_k)
+    _skip = ("relative_position_index", "num_batches_tracked", "attn_mask",
+             "position_ids", "temp", "logit_scale")
+    _missed = [k for k in _sd if k not in _exported
+               and not any(p in k for p in _skip)
+               and k not in ("timesformer.norm.weight", "timesformer.norm.bias")]
+    assert not _missed, f"import-only keys not re-exported: {_missed[:8]}"
+
+
     rng = np.random.default_rng(0)
     B, clips, frm = 2, 2, 3
     img_middle = rng.integers(0, 255, size=(B, clips, 3, 128, 192)).astype(np.float32)

@@ -194,6 +194,23 @@ def test_full_stage1_parity(reference_lfvila, tmp_path):
     model = LfVilaPretrain(ours_cfg)
     params = lfvila_torch_to_flax(ref.state_dict())
 
+    # torch -> flax -> torch round-trip: every exported key must exist in the
+    # reference state dict with identical values (VERDICT r1 item 10)
+    from xpretrain_tpu.models.export import lfvila_flax_to_torch
+    _sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    _exported = lfvila_flax_to_torch(params)
+    assert _exported, "export produced nothing"
+    for _k, _v in _exported.items():
+        assert _k in _sd, f"exported unknown key {_k}"
+        np.testing.assert_allclose(_v, _sd[_k], rtol=1e-6, atol=1e-6, err_msg=_k)
+    _skip = ("relative_position_index", "num_batches_tracked", "attn_mask",
+             "position_ids", "temp", "logit_scale")
+    _missed = [k for k in _sd if k not in _exported
+               and not any(p in k for p in _skip)
+               and k not in ("timesformer.norm.weight", "timesformer.norm.bias")]
+    assert not _missed, f"import-only keys not re-exported: {_missed[:8]}"
+
+
     rng = np.random.default_rng(0)
     B, M, L = 2, 4, 10
     video = rng.normal(size=(B, 3, 16, 96, 160)).astype(np.float32)

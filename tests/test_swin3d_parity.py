@@ -104,6 +104,23 @@ def test_swin3d_parity_vs_reference(reference_swin):
     model = SwinTransformer3D(cfg)
     params = swin3d_torch_to_flax(ref.state_dict())
 
+    # torch -> flax -> torch round-trip: every exported key must exist in the
+    # reference state dict with identical values (VERDICT r1 item 10)
+    from xpretrain_tpu.models.export import swin3d_flax_to_torch
+    _sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    _exported = swin3d_flax_to_torch(params)
+    assert _exported, "export produced nothing"
+    for _k, _v in _exported.items():
+        assert _k in _sd, f"exported unknown key {_k}"
+        np.testing.assert_allclose(_v, _sd[_k], rtol=1e-6, atol=1e-6, err_msg=_k)
+    _skip = ("relative_position_index", "num_batches_tracked", "attn_mask",
+             "position_ids", "temp", "logit_scale")
+    _missed = [k for k in _sd if k not in _exported
+               and not any(p in k for p in _skip)
+               and k not in ("timesformer.norm.weight", "timesformer.norm.bias")]
+    assert not _missed, f"import-only keys not re-exported: {_missed[:8]}"
+
+
     # 16 frames, 48x80 -> after patchify: [B, 16, 6, 10]; windows clip at
     # late stages (16 > D at stage 5 after no temporal downsampling)
     rng = np.random.default_rng(0)

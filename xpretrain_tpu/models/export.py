@@ -110,6 +110,9 @@ def bert_flax_to_torch(
                 continue
             key, transpose = rest
             out[mlm_prefix + key] = v.T if transpose else v
+            if path == ("decoder", "bias"):
+                # HF BERT keeps a standalone tied copy at cls.predictions.bias
+                out[mlm_prefix + "bias"] = v
     return out
 
 
