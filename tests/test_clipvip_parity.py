@@ -252,3 +252,66 @@ def test_roundtrip_export(hf_clip):
     assert set(exported) == set(sd)
     for key in sd:
         np.testing.assert_allclose(exported[key], sd[key].numpy(), atol=1e-6)
+
+
+def test_released_checkpoint_file_format(reference_vip, tmp_path):
+    """Byte-identical-format synthetic released checkpoint: a VidCLIP
+    state_dict ('clipmodel.'-prefixed reference CLIP_ViP keys) torch.saved
+    to disk, loaded via load_torch_checkpoint, converted, and forwarded —
+    the path a user of tools/fetch_checkpoints.py takes with the real
+    pretrain_clipvip_base_32.pt (zero-egress sandbox: documented blocker in
+    that script; the file format here matches load_state_dict_with_mismatch
+    consumption, ref CLIP-ViP/src/utils/load_save.py:86-104)."""
+    from types import SimpleNamespace
+
+    from transformers import CLIPConfig
+
+    from xpretrain_tpu.models.clip_vip.convert import load_torch_checkpoint
+
+    add_cls_num, temporal_size, frames = 3, 6, 4
+    hf_cfg = CLIPConfig(
+        text_config=dict(**TEXT_KW, eos_token_id=127),
+        vision_config=VISION_KW,
+        projection_dim=PROJ,
+    )
+    hf_cfg.vision_additional_config = SimpleNamespace(
+        type="ViP", temporal_size=temporal_size, if_use_temporal_embed=1,
+        add_cls_num=add_cls_num, logit_scale_init_value=4.60, keep_frame_cls=0,
+    )
+    torch.manual_seed(7)
+    ref = reference_vip.CLIPModel(hf_cfg).eval()
+    with torch.no_grad():
+        ref.vision_model.embeddings.temporal_embedding.normal_(0, 0.02)
+
+    # the released file layout: VidCLIP wrapper prefix, raw state_dict
+    released = {f"clipmodel.{k}": v for k, v in ref.state_dict().items()}
+    ckpt = tmp_path / "pretrain_clipvip_tiny.pt"
+    torch.save(released, str(ckpt))
+
+    sd = load_torch_checkpoint(str(ckpt))
+    assert not any(k.startswith("clipmodel.") for k in sd), "prefix not stripped"
+    variables = torch_clip_to_flax(sd, n_text_layers=2, n_vision_layers=2)
+
+    cfg = CLIPVipConfig(
+        text=CLIPTextConfig(**TEXT_KW),
+        vision=CLIPVisionConfig(**VISION_KW),
+        vip=VipConfig(add_cls_num=add_cls_num, temporal_size=temporal_size),
+        projection_dim=PROJ,
+    )
+    model = CLIPViPModel(cfg)
+    rng = np.random.default_rng(7)
+    video = rng.normal(size=(2, frames, 3, 32, 32)).astype(np.float32)
+    ids, mask = _token_batch(rng, batch=2, seq=10)
+    with torch.no_grad():
+        want = ref(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(video),
+        )
+    got = model.apply(variables, jnp.asarray(video), jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(got["text_features"]), want.text_embeds.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["vis_features"]), want.image_embeds.numpy(), atol=2e-5
+    )

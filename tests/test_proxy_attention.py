@@ -1,0 +1,78 @@
+"""Fused proxy-attention kernel: parity with the masked XLA path + VJP.
+
+Runs the Pallas kernel in interpret mode on the CPU test mesh; the real-TPU
+speed is benchmarked in tools/bench_report.py / PERF.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpretrain_tpu.models.clip_vip.model import proxy_attention_mask
+from xpretrain_tpu.models.common import dot_attention
+from xpretrain_tpu.ops.proxy_attention import (
+    _attention_xla,
+    proxy_flash_attention,
+)
+
+M, N, L, D, H, B = 3, 4, 13, 16, 2, 2
+S = M + N * L
+
+
+@pytest.fixture()
+def qkv():
+    rng = np.random.default_rng(0)
+    shape = (B, H, S, D)
+    return tuple(jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3))
+
+
+def test_xla_path_matches_masked_dot_attention(qkv):
+    q, k, v = qkv
+    mask = jnp.asarray(proxy_attention_mask(M, N, L))
+    want = dot_attention(q, k, v, D**-0.5, mask)
+    got = _attention_xla(q, k, v, M, L, D**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_pallas_kernel_matches_xla(qkv):
+    q, k, v = qkv
+    want = _attention_xla(q, k, v, M, L, D**-0.5)
+    got = proxy_flash_attention(q, k, v, M, N, L, D**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff(qkv):
+    q, k, v = qkv
+
+    def loss_flash(q, k, v):
+        out = proxy_flash_attention(q, k, v, M, N, L, D**-0.5, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        mask = jnp.asarray(proxy_attention_mask(M, N, L))
+        out = dot_attention(q, k, v, D**-0.5, mask)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=f"d{name}"
+        )
+
+
+def test_mask_semantics_patch_isolation(qkv):
+    """A patch token must be unaffected by patches of OTHER frames."""
+    q, k, v = qkv
+    out1 = proxy_flash_attention(q, k, v, M, N, L, D**-0.5, interpret=True)
+    # perturb frame 3's patches; frame 0's outputs must not move
+    k2 = k.at[:, :, M + 3 * L :].add(5.0)
+    v2 = v.at[:, :, M + 3 * L :].add(5.0)
+    out2 = proxy_flash_attention(q, k2, v2, M, N, L, D**-0.5, interpret=True)
+    f0 = slice(M, M + L)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, :, f0]), np.asarray(out2[:, :, f0]), atol=1e-6
+    )
+    # but the proxies (which see everything) must move
+    assert np.abs(np.asarray(out1[:, :, :M]) - np.asarray(out2[:, :, :M])).max() > 1e-3

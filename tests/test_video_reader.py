@@ -60,3 +60,22 @@ def test_unsorted_indices_restore_order(test_video):
     assert abs(blues[0] - 120) < 10
     assert abs(blues[1] - 8) < 10
     assert abs(blues[2] - 180) < 10
+
+
+def test_ingest_benchmark_pipeline():
+    """The decode-pool ingest benchmark runs end-to-end on tiny inputs."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_ingest",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_ingest.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    row = mod.run_benchmark(
+        workers=2, clips=4, num_frm=4, crop=32, src_hw=(48, 64),
+        src_frames=20, n_videos=2,
+    )
+    assert row["frames_per_s"] > 0 and row["decoded_MB_per_s"] > 0
+    assert row["batch_shape"] == [4, 4, 32, 32, 3]

@@ -18,6 +18,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (per chip)
+
+
+def flops_of(jitted, *args) -> float:
+    """Analytic FLOPs of an already-jitted callable on example args."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def with_mfu(row, flops, t):
+    row["tflops"] = round(flops / 1e12, 1)
+    row["mfu_pct"] = round(100.0 * flops / max(t, 1e-9) / V5E_PEAK_BF16, 1)
+    return row
+
+
 def median_time(fn, warmup=3, iters=8):
     for _ in range(warmup):
         fn()
@@ -55,8 +75,10 @@ def bench_clipvip(quick=False):
         return float(np.asarray(fwd(params, video, ids, mask)["vis_features"])[0, 0])
 
     t = median_time(run)
-    return {"model": "CLIP-ViP B/32 (12f 224², u8 ingest)", "batch": b,
-            "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}
+    return with_mfu(
+        {"model": "CLIP-ViP B/32 (12f 224², u8 ingest)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
+        flops_of(fwd, params, video, ids, mask), t)
 
 
 def bench_lfvila(quick=False):
@@ -78,8 +100,10 @@ def bench_lfvila(quick=False):
         return float(np.asarray(fwd(params, video)))
 
     t = median_time(run, warmup=2, iters=5)
-    return {"model": "LF-VILA Swin3D/HTWA (32f 192×320)", "batch": b,
-            "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}
+    return with_mfu(
+        {"model": "LF-VILA Swin3D/HTWA (32f 192×320)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
+        flops_of(fwd, params, video), t)
 
 
 def bench_hdvila(quick=False):
@@ -100,8 +124,10 @@ def bench_hdvila(quick=False):
         return float(np.asarray(fwd(params, middle, other)))
 
     t = median_time(run, warmup=2, iters=5)
-    return {"model": "HD-VILA hybrid encoder (2×7f, 640×1024 middle)", "batch": b * clips,
-            "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}
+    return with_mfu(
+        {"model": "HD-VILA hybrid encoder (2×7f, 640×1024 middle)", "batch": b * clips,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)},
+        flops_of(fwd, params, middle, other), t)
 
 
 def bench_clipvip_train(quick=False):
@@ -148,8 +174,10 @@ def bench_clipvip_train(quick=False):
         return float(np.asarray(metrics["loss"]))
 
     t = median_time(run, warmup=2, iters=5)
-    return {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, remat)", "batch": b,
-            "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}
+    return with_mfu(
+        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, remat)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
+        flops_of(step, state, batch, jax.random.PRNGKey(1)), t)
 
 
 def main():
@@ -168,11 +196,17 @@ def main():
     import jax
 
     with open(args.out, "w") as f:
-        f.write("# PERF — forward throughput on one chip\n\n")
+        f.write("# PERF — throughput + MFU on one chip\n\n")
         f.write(f"Device: {jax.devices()[0]}\n\n")
-        f.write("| model | batch | step ms | clips/s |\n|---|---|---|---|\n")
+        f.write("MFU = XLA-analytic FLOPs / wall time / 197 TFLOP/s (v5e bf16 peak).\n")
+        f.write("The convolutional HD-VILA path and the u8-ingest CLIP-ViP forward are\n")
+        f.write("HBM-bandwidth- and transfer-shaped respectively, so their compute MFU\n")
+        f.write("understates hardware utilization; the train row is the roofline-relevant\n")
+        f.write("number for BASELINE.json's step-time target.\n\n")
+        f.write("| model | batch | step ms | clips/s | TFLOPs | MFU |\n|---|---|---|---|---|---|\n")
         for r in rows:
-            f.write(f"| {r['model']} | {r['batch']} | {r['ms']} | {r['clips_per_s']} |\n")
+            f.write(f"| {r['model']} | {r['batch']} | {r['ms']} | {r['clips_per_s']} "
+                    f"| {r.get('tflops', 0)} | {r.get('mfu_pct', 0)}% |\n")
     print(f"wrote {args.out}")
 
 

@@ -29,6 +29,7 @@ from xpretrain_tpu.data.tokenization import build_tokenizer
 from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder
 from xpretrain_tpu.models.hd_vila.modeling import (
     HdVilaForMultipleChoice,
+    HdVilaForRegression,
     HdVilaForSequenceClassification,
 )
 from xpretrain_tpu.ops.losses import label_smoothing_xent
@@ -38,6 +39,8 @@ from xpretrain_tpu.utils.basic import load_json, save_json
 from xpretrain_tpu.utils.logging import LOGGER, setup_logging
 
 MC_TASKS = ("action", "transition", "mc", "msrvtt_mc")
+REGRESSION_TASKS = ("count",)  # TGIF count: MSE head, preds rounded+clamped
+                               # to [1, 10] at eval (ref run_video_qa.py:298-300)
 
 
 class HdVilaQAModel(nn.Module):
@@ -50,6 +53,8 @@ class HdVilaQAModel(nn.Module):
         self.encoder = HdVilaEncoder(self.enc_cfg)
         if self.task_type in MC_TASKS:
             self.head = HdVilaForMultipleChoice(self.model_cfg)
+        elif self.task_type in REGRESSION_TASKS:
+            self.head = HdVilaForRegression(self.model_cfg)
         else:
             self.head = HdVilaForSequenceClassification(self.model_cfg, self.num_labels)
 
@@ -58,8 +63,16 @@ class HdVilaQAModel(nn.Module):
         grid = self.encoder(img_middle, img_other)
         out = self.head(grid, text_input_ids, text_input_mask, deterministic=deterministic)
         if labels is not None:
-            out["loss"] = label_smoothing_xent(out["logits"], labels, smoothing=0.0)
-            out["acc"] = jnp.mean((jnp.argmax(out["logits"], -1) == labels).astype(jnp.float32))
+            if self.task_type in REGRESSION_TASKS:
+                logits32 = out["logits"].astype(jnp.float32)
+                out["loss"] = jnp.mean((logits32 - labels.astype(jnp.float32)) ** 2)
+                pred = jnp.clip(jnp.floor(logits32 + 0.5).astype(jnp.int32), 1, 10)
+                out["acc"] = jnp.mean((pred == labels).astype(jnp.float32))
+            else:
+                out["loss"] = label_smoothing_xent(out["logits"], labels, smoothing=0.0)
+                out["acc"] = jnp.mean(
+                    (jnp.argmax(out["logits"], -1) == labels).astype(jnp.float32)
+                )
         return out
 
 
@@ -85,6 +98,7 @@ def build_qa_data(cfg, tok):
             None, n_clips=inf_clips, synthetic_seed=cfg.seed, **loader_args
         )
         n_opt = int(cfg.get("num_options", 5))
+        count = cfg.task_type in REGRESSION_TASKS
         rows = [
             {
                 "clip_id": f"c{i}",
@@ -92,7 +106,7 @@ def build_qa_data(cfg, tok):
                 "question_id": 1000 + i,
                 "options": [f"opt {j}" for j in range(n_opt)],
                 "label": i % n_opt if mc else i % cfg.get("num_labels", 2),
-                "answer": "a",
+                "answer": 1 + i % 10 if count else "a",
             }
             for i in range(256)
         ]
@@ -144,7 +158,11 @@ def evaluate_qa(model, params, val_loader, mesh, val_ds=None, task_type="open"):
         labels = batch.pop("labels")
         ids = batch.pop("ids")
         out = eval_step(params, shard_host_batch(batch, mesh))
-        pred = np.argmax(np.asarray(out["logits"]), -1)
+        logits = np.asarray(out["logits"], np.float32)
+        if task_type in REGRESSION_TASKS:
+            pred = np.clip((logits + 0.5).astype(np.int64), 1, 10)
+        else:
+            pred = np.argmax(logits, -1)
         n = min(len(labels), val_loader.valid_len - total)
         preds.extend(pred[:n].tolist())
         golds.extend(np.asarray(labels[:n]).tolist())

@@ -160,6 +160,10 @@ class HdVilaQADataset:
         if self.task_type in ("action", "transition", "mc"):
             item["options"] = [f"{item['question']} {opt}" for opt in row["options"]]
             item["label"] = int(row.get("label", row.get("answer", 0)))
+        elif self.task_type == "count":
+            # TGIF count: the answer IS the integer count (ref
+            # dataset_video_qa.py open_ended handling + mse eval)
+            item["label"] = int(row.get("answer", row.get("label", 1)))
         elif "label" in row:  # pre-resolved integer label (synthetic fixtures,
             # pre-mapped annotation dumps)
             item["label"] = int(row["label"])

@@ -213,11 +213,16 @@ class ProxyAttention(nn.Module):
         q = split(dense("q_proj")(hidden_states))
         k = split(dense("k_proj")(hidden_states))
         v = split(dense("v_proj")(hidden_states))
-        rng = None
-        if self.dropout_rate > 0 and not deterministic:
+        if self.dropout_rate == 0.0 or deterministic:
+            # fused Pallas path: scores/mask/softmax never touch HBM
+            # (exact VJP; see ops/proxy_attention.py)
+            from xpretrain_tpu.ops.proxy_attention import proxy_flash_attention
+
+            out = proxy_flash_attention(q, k, v, M, N, L, D**-0.5)
+        else:
             rng = self.make_rng("dropout")
-        mask = jnp.asarray(proxy_attention_mask(M, N, L))
-        out = dot_attention(q, k, v, D**-0.5, mask, rng, self.dropout_rate, deterministic)
+            mask = jnp.asarray(proxy_attention_mask(M, N, L))
+            out = dot_attention(q, k, v, D**-0.5, mask, rng, self.dropout_rate, deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(B, M + N * L, self.embed_dim)
         return dense("out_proj")(out)
 

@@ -81,6 +81,53 @@ def _attention_pallas(
     )(q, k, v)
 
 
+def _attention_pallas_bwd(
+    q: Array, k: Array, v: Array, d_out: Array, M: int, L: int, scale: float,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused backward: recomputes P in-kernel, emits (dq, dk, dv) per (b, h).
+
+    Standard softmax-attention backward — dV = Pᵀ dO; dP = dO Vᵀ;
+    dS = P ⊙ (dP − rowsum(dP ⊙ P)); dQ = dS K·scale; dK = dSᵀ Q·scale —
+    with all S² temporaries living in VMEM (~4 fp32 tiles ≈ 5.6 MB at S=592).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, S, D = q.shape
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+        qb = q_ref[0, 0]
+        kb = k_ref[0, 0]
+        vb = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        mm = lambda a, b, dims: jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = mm(qb, kb, ((1,), (1,))) * scale + _proxy_bias(S, M, L)
+        p = jax.nn.softmax(scores, axis=-1)
+        dv_ref[0, 0] = mm(p, do, ((0,), (0,))).astype(dv_ref.dtype)
+        dp = mm(do, vb, ((1,), (1,)))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[0, 0] = (mm(ds, kb.astype(jnp.float32), ((1,), (0,))) * scale).astype(
+            dq_ref.dtype
+        )
+        dk_ref[0, 0] = (mm(ds, qb.astype(jnp.float32), ((0,), (0,))) * scale).astype(
+            dk_ref.dtype
+        )
+
+    spec = lambda: pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, H, S, D), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[spec(), spec(), spec(), spec()],
+        out_specs=(spec(), spec(), spec()),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, d_out)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, M, L, scale, interpret):
     return _attention_pallas(q, k, v, M, L, scale, interpret)
@@ -91,21 +138,8 @@ def _flash_fwd(q, k, v, M, L, scale, interpret):
 
 
 def _flash_bwd(M, L, scale, interpret, res, d_out):
-    # standard softmax-attention backward in XLA (recompute, fp32 probs):
-    # dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ⊙ (dP − rowsum(dP ⊙ P));
-    # dQ = dS K · scale;  dK = dSᵀ Q · scale
     q, k, v = res
-    S = q.shape[-2]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores * scale + _proxy_bias(S, M, L)
-    p = jax.nn.softmax(scores, axis=-1)
-    do32 = d_out.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", do32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _attention_pallas_bwd(q, k, v, d_out, M, L, scale, interpret)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
