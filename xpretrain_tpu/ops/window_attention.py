@@ -44,6 +44,18 @@ def window_attention_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _window_group(Bn: int, nW: int, N: int, target_rows: int = 512) -> int:
+    """Windows per grid cell: batch G windows so one cell holds ~target_rows
+    query rows. Small Swin windows (N=30 at early HTWA stages) otherwise
+    explode the grid (B·nW·H ≈ 32k cells) and the launch overhead eats the
+    fusion win — measured round 1. G must divide both nW (so a cell's
+    shifted-window masks are one contiguous mask block) and Bn."""
+    G = max(1, target_rows // max(N, 1))
+    while G > 1 and (nW % G or Bn % G):
+        G -= 1
+    return G
+
+
 def window_attention_pallas(
     q: Array,
     k: Array,
@@ -61,35 +73,52 @@ def window_attention_pallas(
     nW = mask.shape[0] if has_mask else 1
     if not has_mask:
         mask = jnp.zeros((1, N, N), jnp.float32)
+    G = _window_group(Bn, nW, N)
 
     def kernel(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
-        qb = q_ref[0, 0].astype(jnp.float32)  # [N, d]
-        kb = k_ref[0, 0].astype(jnp.float32)
+        qb = q_ref[:, 0].astype(jnp.float32)  # [G, N, d]
+        kb = k_ref[:, 0].astype(jnp.float32)
         scores = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [N, N]
-        scores = scores + b_ref[0] + m_ref[0]
+            qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # [G, N, N] block-diagonal over the window group
+        scores = scores + b_ref[0][None] + m_ref[:]
         weights = jax.nn.softmax(scores, axis=-1)
         out = jax.lax.dot_general(
             weights,
-            v_ref[0, 0].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
+            v_ref[:, 0].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        o_ref[:, 0] = out.astype(o_ref.dtype)
 
-    grid = (Bn, H)
+    grid = (Bn // G, H)
+    qkv_spec = lambda: pl.BlockSpec(
+        (G, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    # windows are laid out bn = batch*nW + window, so G consecutive rows map
+    # to G consecutive masks; G | nW keeps each cell inside one mask block
+    mask_spec = pl.BlockSpec(
+        (G, N, N), lambda b, h: (b % (nW // G), 0, 0), memory_space=pltpu.VMEM
+    ) if G <= nW else pl.BlockSpec(
+        (nW, N, N), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if G > nW:
+        # one cell spans several batch samples: tile the mask up to G rows
+        mask = jnp.tile(mask, (G // nW, 1, 1))
+        mask_spec = pl.BlockSpec((G, N, N), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            qkv_spec(),
+            qkv_spec(),
+            qkv_spec(),
             pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0), memory_space=pltpu.VMEM),
+            mask_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (G, 1, N, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((Bn, H, N, d), q.dtype),
         interpret=interpret,
     )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
