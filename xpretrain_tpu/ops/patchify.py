@@ -15,8 +15,13 @@ algebraically:   ((x/255 - mean)/std) @ W  ==  x @ (W/(255*std)) - const.
 model; the Pallas kernel then streams uint8 from HBM, converts in VMEM and
 hits the MXU — no normalized-frame round trip through HBM at all.
 
-``fused_patch_embed`` is the public entry; ``use_pallas=False`` (or
-non-TPU backends) takes the identical-math XLA path.
+``fused_patch_embed`` is the public entry. Both paths compute identical
+math; the default is the XLA path, which measured FASTER than the Pallas
+kernel on v5e (38.7 ms vs 47.6 ms for 3072 frames of 224x224 @ patch 32):
+XLA batches all frames into one large gemm while the per-frame Pallas grid
+pays a VMEM-refill + small-matmul penalty. The kernel is kept (and parity-
+tested) as the building block for a future fused decode->patchify DMA
+pipeline; opt in with ``use_pallas=True``.
 """
 
 from __future__ import annotations
@@ -88,7 +93,9 @@ def _pallas_patch_embed(frames: Array, folded_w: Array, bias: Array, patch: int,
     patches = extract_patches_u8(frames, patch)  # [N, L, K] uint8 view (XLA reshape)
 
     def kernel(p_ref, w_ref, b_ref, o_ref):
-        x = p_ref[...].astype(jnp.float32)  # [L, K] one frame's patches in VMEM
+        # Block specs squeeze the grid (frame) dim: p_ref is [L, K] in VMEM.
+        # Mosaic has no direct u8->f32 cast; widen through int32 on the VPU.
+        x = p_ref[...].astype(jnp.int32).astype(jnp.float32)
         w = w_ref[...]
         acc = jax.lax.dot_general(
             x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -99,11 +106,11 @@ def _pallas_patch_embed(frames: Array, folded_w: Array, bias: Array, patch: int,
         kernel,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, L, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((None, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, L, D), out_dtype),
         interpret=interpret,
     )(patches, folded_w, bias)
@@ -122,7 +129,9 @@ def fused_patch_embed(
     patch = patch_kernel.shape[0]
     folded_w, bias = fold_normalization(patch_kernel, mean, std)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # XLA's single batched gemm measured faster than the per-frame
+        # Pallas grid on v5e (see module docstring); keep it the default.
+        use_pallas = False
     if use_pallas:
         try:
             return _pallas_patch_embed(frames_u8, folded_w, bias, patch, out_dtype, interpret)
