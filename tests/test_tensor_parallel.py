@@ -1,0 +1,174 @@
+"""Tensor-parallel sharding: TP train step must match the pure-DP step.
+
+TPU-native extension beyond the reference's DP-only design (SURVEY §2.7):
+Megatron-layout param sharding over a 2-D (data, model) mesh, with the
+optimizer state in a hybrid ZeRO-2 × TP layout. Runs on the virtual
+8-device CPU mesh from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from xpretrain_tpu.models.clip_vip import (
+    CLIPTextConfig,
+    CLIPVipConfig,
+    CLIPVisionConfig,
+    CLIPViPModel,
+    VipConfig,
+)
+from xpretrain_tpu.ops.losses import build_loss_fn
+from xpretrain_tpu.optim import build_optimizer, get_schedule
+from xpretrain_tpu.parallel.mesh import MODEL_AXIS, create_mesh, shard_host_batch
+from xpretrain_tpu.parallel.tensor_parallel import (
+    hybrid_state_shardings,
+    tp_param_shardings,
+    tp_pspec,
+)
+from xpretrain_tpu.parallel.train_step import TrainState, make_train_step
+
+
+def _tiny_model():
+    cfg = CLIPVipConfig(
+        text=CLIPTextConfig(
+            vocab_size=500, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, max_position_embeddings=16,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=16,
+        ),
+        vip=VipConfig(temporal_size=2, add_cls_num=1),
+        projection_dim=32,
+    )
+    return CLIPViPModel(cfg)
+
+
+def _batch(n=8):
+    rng = np.random.default_rng(0)
+    video = rng.normal(size=(n, 2, 3, 32, 32)).astype(np.float32)
+    ids = np.zeros((n, 16), np.int32)
+    ids[:, 0] = 499
+    ids[:, 1:5] = rng.integers(5, 400, size=(n, 4))
+    ids[:, 5] = 498
+    return {
+        "video": video,
+        "text_input_ids": ids,
+        "text_input_mask": (ids > 0).astype(np.int32),
+    }
+
+
+def test_tp_pspec_rules():
+    assert tp_pspec("/a/self_attn/q_proj/kernel", (64, 64), 4) == P(None, MODEL_AXIS)
+    assert tp_pspec("/a/self_attn/q_proj/bias", (64,), 4) == P(MODEL_AXIS)
+    assert tp_pspec("/a/self_attn/out_proj/kernel", (64, 64), 4) == P(MODEL_AXIS, None)
+    assert tp_pspec("/a/self_attn/out_proj/bias", (64,), 4) == P()
+    assert tp_pspec("/a/mlp/fc1/kernel", (64, 128), 4) == P(None, MODEL_AXIS)
+    assert tp_pspec("/a/mlp/fc2/kernel", (128, 64), 4) == P(MODEL_AXIS, None)
+    # BERT naming
+    assert tp_pspec("/l/attention_self/query/kernel", (64, 64), 2) == P(None, MODEL_AXIS)
+    assert tp_pspec("/l/attention_output_dense/kernel", (64, 64), 2) == P(MODEL_AXIS, None)
+    assert tp_pspec("/l/intermediate_dense/kernel", (64, 128), 2) == P(None, MODEL_AXIS)
+    assert tp_pspec("/l/output_dense/kernel", (128, 64), 2) == P(MODEL_AXIS, None)
+    # Swin fused qkv + proj
+    assert tp_pspec("/b/qkv/kernel", (32, 96), 2) == P(None, MODEL_AXIS)
+    assert tp_pspec("/b/proj/kernel", (32, 32), 2) == P(MODEL_AXIS, None)
+    # indivisible dims fall back to replicated
+    assert tp_pspec("/a/mlp/fc1/kernel", (64, 130), 4) == P()
+    # non-matching leaves replicated
+    assert tp_pspec("/a/layer_norm1/scale", (64,), 4) == P()
+    assert tp_pspec("/embeddings/patch_embedding/kernel", (16, 16, 3, 64), 4) == P()
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_tp_train_step_matches_dp(mesh_shape):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = _tiny_model()
+    batch = _batch(8)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        jnp.asarray(batch["video"][:1]),
+        jnp.asarray(batch["text_input_ids"][:1]),
+        jnp.asarray(batch["text_input_mask"][:1]),
+    )["params"]
+    loss_fn = build_loss_fn("NCELearnableTempLoss")
+
+    def apply_fn(p, b, r):
+        return model.apply(
+            {"params": p}, b["video"], b["text_input_ids"], b["text_input_mask"]
+        )
+
+    def run(mesh, tp):
+        schedule = get_schedule("cosine", 1e-3, 100)
+        tx, _ = build_optimizer(params, schedule, weight_decay=0.1)
+        pshard = tp_param_shardings(params, mesh) if tp else None
+        oshard = hybrid_state_shardings(tx, params, mesh, min_size=64) if tp else None
+        with mesh:
+            step = make_train_step(
+                apply_fn, tx, mesh, loss_fn,
+                param_shardings=pshard, opt_state_shardings=oshard, donate=False,
+            )
+            state = TrainState.create(params, tx)
+            if tp:
+                state = state.replace(
+                    params=jax.device_put(state.params, pshard),
+                    opt_state=jax.device_put(state.opt_state, oshard),
+                )
+            db = shard_host_batch(batch, mesh)
+            new_state, metrics = step(state, db, jax.random.PRNGKey(1))
+            return new_state, metrics
+
+    dp_mesh = create_mesh(devices=jax.devices()[:8])
+    tp_mesh = create_mesh(mesh_shape, ("data", "model"), devices=jax.devices()[:8])
+    dp_state, dp_metrics = run(dp_mesh, tp=False)
+    tp_state, tp_metrics = run(tp_mesh, tp=True)
+
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(dp_metrics["loss"]), rtol=1e-5
+    )
+    # updated params must agree leaf-wise
+    flat_dp = jax.tree_util.tree_leaves(dp_state.params)
+    flat_tp = jax.tree_util.tree_leaves(tp_state.params)
+    for a, b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+    # and the TP layout must actually shard the transformer kernels
+    flat, _ = jax.tree_util.tree_flatten_with_path(tp_state.params)
+    sharded = {
+        "/".join(str(getattr(k, "key", k)) for k in kp)
+        for kp, leaf in flat
+        if any(ax is not None for spec in [leaf.sharding.spec] for ax in spec)
+    }
+    assert any("q_proj/kernel" in s for s in sharded), sharded
+    assert any("fc2/kernel" in s for s in sharded)
+
+
+def test_hybrid_state_shardings_layout():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = _tiny_model()
+    batch = _batch(1)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["video"]),
+        jnp.asarray(batch["text_input_ids"]),
+        jnp.asarray(batch["text_input_mask"]),
+    )["params"]
+    mesh = create_mesh((2, 4), ("data", "model"), devices=jax.devices()[:8])
+    schedule = get_schedule("cosine", 1e-3, 100)
+    tx, _ = build_optimizer(params, schedule, weight_decay=0.1)
+    shardings = hybrid_state_shardings(tx, params, mesh, min_size=64)
+    flat, _ = jax.tree_util.tree_flatten_with_path(shardings)
+    specs = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): s.spec for kp, s in flat
+    }
+    tp_moments = [s for p, s in specs.items() if "q_proj/kernel" in p and "mu" in p]
+    assert tp_moments and all(MODEL_AXIS in [a for a in s if a] for s in tp_moments)
+    zero_moments = [
+        s for p, s in specs.items() if "token_embedding" in p and ("mu" in p or "nu" in p)
+    ]
+    assert zero_moments and all("data" in [a for a in s if a] for s in zero_moments)

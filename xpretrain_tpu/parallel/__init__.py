@@ -5,6 +5,11 @@ from xpretrain_tpu.parallel.mesh import (
     create_mesh,
     replicated_sharding,
 )
+from xpretrain_tpu.parallel.tensor_parallel import (
+    hybrid_state_shardings,
+    tp_param_shardings,
+    tp_pspec,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -12,4 +17,7 @@ __all__ = [
     "batch_sharding",
     "create_mesh",
     "replicated_sharding",
+    "hybrid_state_shardings",
+    "tp_param_shardings",
+    "tp_pspec",
 ]

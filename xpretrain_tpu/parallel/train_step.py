@@ -97,6 +97,7 @@ def make_train_step(
     logit_scale_max: float = 5.2983,
     donate: bool = True,
     opt_state_shardings: Any = None,
+    param_shardings: Any = None,
     extra_metrics_fn: Optional[Callable[[dict], dict]] = None,
 ):
     """Build the jitted SPMD train step.
@@ -105,7 +106,8 @@ def make_train_step(
     dict consumed by ``loss_fn`` (see :func:`contrastive_loss_from_outputs`).
     Returns ``step(state, batch, rng) -> (state, metrics)`` with batch
     sharded over data, params/state replicated (or ZeRO-2-sharded when
-    ``opt_state_shardings`` is given).
+    ``opt_state_shardings`` is given, tensor-parallel when
+    ``param_shardings`` is — see :mod:`parallel.tensor_parallel`).
     """
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
@@ -135,7 +137,7 @@ def make_train_step(
 
     state_shardings = TrainState(
         step=replicated,
-        params=replicated,
+        params=param_shardings if param_shardings is not None else replicated,
         opt_state=opt_state_shardings if opt_state_shardings is not None else replicated,
     )
 
@@ -155,6 +157,7 @@ def make_model_train_step(
     metric_keys: tuple[str, ...] = (),
     donate: bool = True,
     opt_state_shardings: Any = None,
+    param_shardings: Any = None,
 ):
     """Train step for models that compute their own loss (LF-VILA, HD-VILA).
 
@@ -182,7 +185,7 @@ def make_model_train_step(
 
     state_shardings = TrainState(
         step=replicated,
-        params=replicated,
+        params=param_shardings if param_shardings is not None else replicated,
         opt_state=opt_state_shardings if opt_state_shardings is not None else replicated,
     )
     return jax.jit(
