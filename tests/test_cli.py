@@ -99,3 +99,28 @@ def test_config_preset_merge(tmp_path):
     assert cfg.learning_rate == 5e-5  # CLI override
     assert cfg.num_frm == 12
     assert cfg.clip_vision_additional_config.add_cls_num == 3
+
+
+def test_pretrain_cli_tensor_parallel(tmp_path):
+    """--tp 2 trains on a (data=4, model=2) mesh with Megatron param sharding."""
+    from xpretrain_tpu.cli import run_pretrain_clipvip
+
+    run_pretrain_clipvip.main(
+        [
+            "--dummy_data", "1",
+            "--num_frm", "2",
+            "--crop_img_size", "32",
+            "--max_txt_len", "12",
+            "--train_batch_size", "8",
+            "--num_train_steps", "2",
+            "--clip_size", "tiny",
+            "--output_dir", str(tmp_path),
+            "--log_steps", "1",
+            "--valid_steps", "100",
+            "--save_steps", "100",
+            "--learning_rate", "1e-4",
+            "--bf16", "0",
+            "--tp", "2",
+        ]
+    )
+    assert (tmp_path / "log" / "args.json").exists()

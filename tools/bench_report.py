@@ -141,7 +141,10 @@ def bench_clipvip_train(quick=False):
     from xpretrain_tpu.parallel.mesh import create_mesh
     from xpretrain_tpu.parallel.train_step import TrainState, make_train_step
 
-    model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16, remat=True))
+    # remat off: rematerialization measured slower at these batches (b=32:
+    # 188 vs 202 clips/s, b=64: 207 vs 241) and HBM has ample headroom; remat
+    # stays available via the --gradient_checkpointing flag when memory-tight.
+    model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16, remat=False))
     b = 16 if quick else 32  # reference pretrain batch/GPU = 32
     f, im, s = 12, 224, 70
     ids = np.zeros((b, s), np.int64)
@@ -175,7 +178,7 @@ def bench_clipvip_train(quick=False):
 
     t = median_time(run, warmup=2, iters=5)
     return with_mfu(
-        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, remat)", "batch": b,
+        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW)", "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
         flops_of(step, state, batch, jax.random.PRNGKey(1)), t)
 

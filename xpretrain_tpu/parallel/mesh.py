@@ -78,6 +78,21 @@ def create_mesh(
     return Mesh(device_array, tuple(axis_names))
 
 
+def mesh_from_config(cfg) -> Mesh:
+    """1-D data mesh, or a 2-D ``(data, model)`` mesh when ``cfg['tp'] > 1``.
+
+    ``tp`` is the tensor-parallel degree (see
+    :mod:`xpretrain_tpu.parallel.tensor_parallel` for the param layout).
+    """
+    tp = int(cfg.get("tp", 1) or 1)
+    if tp <= 1:
+        return create_mesh()
+    n = len(jax.devices())
+    if n % tp:
+        raise ValueError(f"tp={tp} does not divide the {n} available devices")
+    return create_mesh((n // tp, tp), (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -196,12 +196,14 @@ def make_model_train_step(
     )
 
 
-def make_eval_step(apply_fn: Callable, mesh: Mesh):
+def make_eval_step(apply_fn: Callable, mesh: Mesh, param_shardings: Any = None):
     """Jitted forward: sharded batch in, fully-gathered features out.
 
     The out_shardings=replicated forces the cross-device gather of eval
     features (the reference's per-batch ``hvd.allgather`` at
     ``run_video_retrieval.py:137-138``) to happen on-device over ICI.
+    Pass ``param_shardings`` when the trained params are tensor-parallel so
+    eval consumes them in place instead of gathering every weight.
     """
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
@@ -211,6 +213,9 @@ def make_eval_step(apply_fn: Callable, mesh: Mesh):
 
     return jax.jit(
         eval_fn,
-        in_shardings=(replicated, batch_sharded),
+        in_shardings=(
+            param_shardings if param_shardings is not None else replicated,
+            batch_sharded,
+        ),
         out_shardings=replicated,
     )

@@ -17,7 +17,11 @@ import jax
 import numpy as np
 
 from xpretrain_tpu.optim import build_optimizer, get_schedule
-from xpretrain_tpu.parallel.mesh import create_mesh, shard_host_batch
+from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
+from xpretrain_tpu.parallel.tensor_parallel import (
+    hybrid_state_shardings,
+    tp_param_shardings,
+)
 from xpretrain_tpu.parallel.train_step import (
     TrainState,
     make_model_train_step,
@@ -41,7 +45,7 @@ class GenericTrainer:
         no_decay_patterns=None,
     ):
         self.cfg = cfg
-        self.mesh = create_mesh()
+        self.mesh = mesh_from_config(cfg)
         self.apply_fn = apply_fn
         self.train_loader = train_loader
         self.eval_fn = eval_fn
@@ -70,14 +74,24 @@ class GenericTrainer:
             **kwargs,
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
-        opt_shardings = (
-            zero2_state_shardings(self.tx, self.init_params, self.mesh)
-            if cfg.get("zero2", True)
-            else None
-        )
+        tp = int(cfg.get("tp", 1) or 1)
+        if tp > 1:
+            self.param_shardings = tp_param_shardings(self.init_params, self.mesh)
+            opt_shardings = hybrid_state_shardings(
+                self.tx, self.init_params, self.mesh,
+                min_size=16384 if cfg.get("zero2", True) else 1 << 62,
+            )
+        else:
+            self.param_shardings = None
+            opt_shardings = (
+                zero2_state_shardings(self.tx, self.init_params, self.mesh)
+                if cfg.get("zero2", True)
+                else None
+            )
         self.train_step = make_model_train_step(
             apply_fn, self.tx, self.mesh, metric_keys=metric_keys,
             opt_state_shardings=opt_shardings,
+            param_shardings=self.param_shardings,
         )
         out_dir = cfg.get("output_dir", "/tmp/xpt_output")
         self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)

@@ -26,7 +26,11 @@ from xpretrain_tpu.models.clip_vip import (
 )
 from xpretrain_tpu.ops.losses import build_loss_fn
 from xpretrain_tpu.optim import build_optimizer, get_schedule
-from xpretrain_tpu.parallel.mesh import create_mesh, shard_host_batch
+from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
+from xpretrain_tpu.parallel.tensor_parallel import (
+    hybrid_state_shardings,
+    tp_param_shardings,
+)
 from xpretrain_tpu.parallel.train_step import (
     TrainState,
     make_eval_step,
@@ -79,7 +83,7 @@ class ClipVipTrainer:
         init_params: Optional[Any] = None,
     ):
         self.cfg = cfg
-        self.mesh = create_mesh()
+        self.mesh = mesh_from_config(cfg)
         self.model = CLIPViPModel(model_cfg or clip_vip_config_from(cfg))
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -130,15 +134,28 @@ class ClipVipTrainer:
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
         loss_fn = build_loss_fn(cfg.get("loss_name", "NCELearnableTempLoss"))
-        opt_shardings = (
-            zero2_state_shardings(self.tx, init_params, self.mesh)
-            if cfg.get("zero2", True)
-            else None
-        )
+        tp = int(cfg.get("tp", 1) or 1)
+        if tp > 1:
+            self.param_shardings = tp_param_shardings(init_params, self.mesh)
+            opt_shardings = hybrid_state_shardings(
+                self.tx, init_params, self.mesh,
+                min_size=16384 if cfg.get("zero2", True) else 1 << 62,
+            )
+        else:
+            self.param_shardings = None
+            opt_shardings = (
+                zero2_state_shardings(self.tx, init_params, self.mesh)
+                if cfg.get("zero2", True)
+                else None
+            )
         self.train_step = make_train_step(
-            self._apply_train, self.tx, self.mesh, loss_fn, opt_state_shardings=opt_shardings
+            self._apply_train, self.tx, self.mesh, loss_fn,
+            opt_state_shardings=opt_shardings,
+            param_shardings=self.param_shardings,
         )
-        self.eval_step = make_eval_step(self._apply_eval, self.mesh)
+        self.eval_step = make_eval_step(
+            self._apply_eval, self.mesh, param_shardings=self.param_shardings
+        )
 
         # ---- io ----
         out_dir = cfg.get("output_dir", "/tmp/xpt_output")
