@@ -89,3 +89,30 @@ def test_cut_and_meta_flow(long_video, tmp_path):
     frames = video_reader.read_frames(out, np.array([0]))
     # first frame should be from ~2s in (index ~20 -> blue ~40)
     assert frames[0, :, :, 2].mean() > 25
+
+
+def test_gif2mp4_roundtrip(tmp_path):
+    """TGIF gif->mp4 flow: PIL-written gif through the native transcoder."""
+    PIL = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from tools.gif2mp4 import gif2mp4
+    from xpretrain_tpu.data import video_reader
+
+    frames = []
+    for i in range(12):
+        arr = np.zeros((48, 64, 3), np.uint8)
+        arr[:, :, 0] = i * 20  # red encodes frame index
+        frames.append(PIL.fromarray(arr))
+    gif_path = str(tmp_path / "anim.gif")
+    frames[0].save(
+        gif_path, save_all=True, append_images=frames[1:], duration=100, loop=0
+    )
+    mp4_path = str(tmp_path / "anim.mp4")
+    assert gif2mp4(gif_path, mp4_path, fps=10.0)
+
+    info = video_reader.probe(mp4_path)
+    assert info.num_frames >= 10
+    out = video_reader.read_frames(mp4_path, np.array([0, info.num_frames - 1]))
+    # red channel must grow from first to last frame (lossy encode tolerance)
+    assert float(out[1, :, :, 0].mean()) > float(out[0, :, :, 0].mean()) + 50
