@@ -73,6 +73,18 @@ class Swin3DConfig:
     pallas_min_window: int = 240
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Context parallelism for long-form inputs: name of a mesh axis to shard
+    # the TEMPORAL dimension of activations over (e.g. "model" on a
+    # (data, model) mesh). HTWA's growing windows make this nearly
+    # communication-free: stages whose temporal window fits the local shard
+    # (window[0] <= T/cp) run with zero cross-device traffic, and XLA's SPMD
+    # partitioner inserts the reshard only for the final global-window
+    # stage(s). Enables frame counts whose activations exceed one chip's
+    # HBM. Requires tracing a plain jit (no explicit in_shardings) under an
+    # ambient ``with mesh:`` — committed inputs carry their shardings in, and
+    # the constraint re-pins time over the axis (tests/test_context_parallel.py).
+    # None = off.
+    context_parallel_axis: str | None = None
 
     @property
     def num_features(self) -> int:
@@ -348,10 +360,18 @@ class SwinTransformer3D(nn.Module):
         self, x: Array, only_local: bool = False, deterministic: bool = True
     ) -> tuple[Array, Array] | Array:
         cfg = self.config
+        if cfg.context_parallel_axis:
+            from jax.sharding import PartitionSpec
+
+            # activations are [B, D(time), H, W, C]; shard time over the axis
+            cp_spec = PartitionSpec(None, cfg.context_parallel_axis)
+            cp = lambda t: jax.lax.with_sharding_constraint(t, cp_spec)
+        else:
+            cp = lambda t: t
         x = PatchEmbed3D(
             cfg.patch_size, cfg.embed_dim, cfg.patch_norm, dtype=cfg.dtype, name="patch_embed"
         )(x)
-        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+        x = cp(nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic))
 
         total_depth = sum(cfg.depths)
         dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
@@ -393,6 +413,10 @@ class SwinTransformer3D(nn.Module):
                 block_idx += 1
             if i_layer in cfg.downsample_stages:
                 x = PatchMerging(dim, dtype=cfg.dtype, name=f"layers_{i_layer}_downsample")(x)
+            # re-pin the time sharding after every stage so the partitioner
+            # keeps local-window stages communication-free and only reshards
+            # where a window genuinely spans shards
+            x = cp(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="norm")(x)
         if cfg.faithful_local_branch:

@@ -100,6 +100,12 @@ class GenericTrainer:
         self.meter = RunningMeter("train_loss")
 
     def train(self) -> TrainState:
+        # ambient mesh so model-internal P-based sharding constraints
+        # (e.g. Swin3D context_parallel_axis) resolve during the step trace
+        with self.mesh:
+            return self._train()
+
+    def _train(self) -> TrainState:
         cfg = self.cfg
         state = TrainState.create(self.init_params, self.tx)
         restored = self.ckpt.restore(jax.tree_util.tree_map(np.asarray, state))
