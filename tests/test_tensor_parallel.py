@@ -172,3 +172,54 @@ def test_hybrid_state_shardings_layout():
         s for p, s in specs.items() if "token_embedding" in p and ("mu" in p or "nu" in p)
     ]
     assert zero_moments and all("data" in [a for a in s if a] for s in zero_moments)
+
+
+def test_tp_state_checkpoint_roundtrip(tmp_path):
+    """A TP-sharded train state survives the gather-save / restore cycle."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    model = _tiny_model()
+    batch = _batch(8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["video"][:1]),
+        jnp.asarray(batch["text_input_ids"][:1]),
+        jnp.asarray(batch["text_input_mask"][:1]),
+    )["params"]
+    mesh = create_mesh((4, 2), ("data", "model"), devices=jax.devices()[:8])
+    schedule = get_schedule("cosine", 1e-3, 100)
+    tx, _ = build_optimizer(params, schedule, weight_decay=0.1)
+    pshard = tp_param_shardings(params, mesh)
+    oshard = hybrid_state_shardings(tx, params, mesh, min_size=64)
+    loss_fn = build_loss_fn("NCELearnableTempLoss")
+
+    def apply_fn(p, b, r):
+        return model.apply(
+            {"params": p}, b["video"], b["text_input_ids"], b["text_input_mask"]
+        )
+
+    with mesh:
+        step = make_train_step(
+            apply_fn, tx, mesh, loss_fn,
+            param_shardings=pshard, opt_state_shardings=oshard, donate=False,
+        )
+        state = TrainState.create(params, tx)
+        state = state.replace(
+            params=jax.device_put(state.params, pshard),
+            opt_state=jax.device_put(state.opt_state, oshard),
+        )
+        db = shard_host_batch(batch, mesh)
+        state, _ = step(state, db, jax.random.PRNGKey(1))
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+        host_state = jax.tree_util.tree_map(np.asarray, state)  # gather
+        ckpt.save(1, host_state, force=True)
+        restored = ckpt.restore(host_state)
+        assert restored is not None and int(restored.step) == 1
+
+        # resume: restored host state re-places onto the TP layout and steps
+        state2, metrics2 = step(restored, db, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics2["loss"]))
+        assert int(state2.step) == 2
