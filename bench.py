@@ -1,14 +1,23 @@
 """Benchmark: CLIP-ViP B/32 zero-shot retrieval forward throughput on TPU.
 
 Measures steady-state clips/sec/chip for the flagship config (12-frame 224²
-clips + 70-token captions, bf16 compute) — the BASELINE.json headline metric.
+uint8 clips + 70-token captions, bf16 compute) — the BASELINE.json headline
+metric.
+
+Methodology: K=40 forwards are chained inside ONE jit via ``lax.scan`` with
+the input made data-dependent on the carry (so XLA cannot hoist the loop
+body), and a single scalar is fetched per timing. This amortizes the
+per-call host→device round-trip (~28 ms on a tunneled chip) to <1% of the
+measurement (included, not subtracted). Batch 24 is the measured throughput
+optimum on v5e — per-clip cost *rises* with batch for this model
+(1071 clips/s at b=24 vs 897 at b=64, sweep in PERF.md).
 
 ``vs_baseline`` compares against an A100 fp16 estimate for the reference
 PyTorch CLIP-ViP B/32 video encoder. The reference publishes no absolute
-throughput (BASELINE.md); we use 250 clips/s/A100, derived from public ViT-B/32
-A100 inference rates (~3000 img/s fp16) scaled by the ~12× per-clip token work
-of 12-frame proxy attention. vs_baseline > 2.0 meets the BASELINE.json target
-(≥2× A100 clips/sec/chip).
+throughput (BASELINE.md); we use 250 clips/s/A100, derived from public
+ViT-B/32 A100 inference rates (~3000 img/s fp16) scaled by the ~12× per-clip
+token work of 12-frame proxy attention. vs_baseline > 2.0 meets the
+BASELINE.json target (≥2× A100 clips/sec/chip).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
@@ -19,6 +28,8 @@ import json
 import time
 
 A100_BASELINE_CLIPS_PER_S = 250.0
+BATCH = 24
+K = 40  # scan compile cost is K-independent; large K makes the one RTT negligible
 
 
 def main() -> None:
@@ -29,51 +40,46 @@ def main() -> None:
     from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
 
     model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16))
-    # batch 256 of raw uint8 clips through the fused ingest path — the
-    # production serving configuration (masked-full proxy attention)
-    batch, frames, image, seq = 256, 12, 224, 70
+    frames, image, seq = 12, 224, 70
 
     rng = jax.random.PRNGKey(0)
-    ids = np.zeros((batch, seq), np.int64)
+    ids = np.zeros((BATCH, seq), np.int64)
     ids[:, 0] = 49406
-    ids[:, 1:10] = np.random.default_rng(1).integers(300, 40000, size=(batch, 9))
+    ids[:, 1:10] = np.random.default_rng(1).integers(300, 40000, size=(BATCH, 9))
     ids[:, 10] = 49407
     ids = jnp.asarray(ids)
     mask = (ids > 0).astype(jnp.int32)
 
-    @jax.jit
-    def gen_video(key):
-        return jax.random.randint(
-            key, (batch, frames, image, image, 3), 0, 255, jnp.int32
+    video = jax.jit(
+        lambda key: jax.random.randint(
+            key, (BATCH, frames, image, image, 3), 0, 255, jnp.int32
         ).astype(jnp.uint8)
-
-    video = gen_video(rng)  # generated on-device: bench measures compute, not the host link
+    )(rng)  # generated on-device: bench measures compute, not the host link
     params = model.init(rng, video[:1], ids[:1], mask[:1])
 
     @jax.jit
-    def forward(params, video, ids, mask):
-        return model.apply(params, video, ids, mask)
+    def run_k(carry0, params, video, ids, mask):
+        def body(carry, _):
+            # data-dependent input: one pixel carries the previous output so
+            # XLA cannot hoist the forward out of the loop
+            v = video.at[0, 0, 0, 0, 0].set(carry.astype(jnp.uint8))
+            out = model.apply(params, v, ids, mask)
+            return out["vis_features"][0, 0].astype(jnp.float32), None
 
-    def run_once():
-        out = forward(params, video, ids, mask)
-        # fetch a scalar to the host: the only sync the axon tunnel can't
-        # satisfy without the program actually having run
-        return float(np.asarray(out["vis_features"])[0, 0])
+        carry, _ = jax.lax.scan(body, carry0, None, length=K)
+        return carry
 
     # warmup/compile (first call over the device tunnel can be very slow)
-    for _ in range(3):
-        run_once()
+    float(run_k(jnp.float32(0.0), params, video, ids, mask))
 
-    # per-iteration host-fetch sync + median of many: robust against
-    # async-dispatch artifacts
     times = []
-    for _ in range(10):
+    for i in range(5):
         t0 = time.perf_counter()
-        run_once()
+        float(run_k(jnp.float32(i), params, video, ids, mask))
         times.append(time.perf_counter() - t0)
-    step_time = sorted(times)[len(times) // 2]
+    step_time = sorted(times)[len(times) // 2] / K
 
-    clips_per_s = batch / step_time
+    clips_per_s = BATCH / step_time
     print(
         json.dumps(
             {

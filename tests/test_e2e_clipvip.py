@@ -126,3 +126,30 @@ def test_checkpoint_resume(trained, tmp_path):
     a = np.asarray(state.params["logit_scale"])
     b = np.asarray(state2.params["logit_scale"])
     np.testing.assert_allclose(a, b)
+
+
+def test_steps_per_call_trainer(tmp_path):
+    """steps_per_call=2 drives the same loop surface: step count, periodic
+    checkpoint, and a final state identical in shape to the k=1 path."""
+    tok = HashTokenizer()
+    collate = RetrievalCollator(tok, max_txt_len=16)
+    train_loader = InfiniteIterator(BatchLoader(TransformedSynthetic(64), 16, collate, seed=0))
+    cfg = ConfigDict(
+        num_train_steps=5,  # not divisible by k: exercises the remainder chunk
+        steps_per_call=2,
+        learning_rate=1e-3,
+        decay="constant",
+        warmup_ratio=0.0,
+        weight_decay=0.0,
+        loss_name="NCELearnableTempLoss",
+        output_dir=str(tmp_path),
+        valid_steps=100,
+        save_steps=4,
+        log_steps=2,
+        validate_at_start=False,
+        seed=0,
+    )
+    trainer = ClipVipTrainer(cfg, train_loader, model_cfg=tiny_model_cfg())
+    state = trainer.train()
+    assert int(state.step) == 5
+    assert trainer.ckpt.latest_step() in (4, 5)

@@ -124,3 +124,58 @@ def test_grad_accum_multisteps():
         if i < 2:
             assert moved == 0.0
     assert moved > 0.0
+
+
+def test_fused_matches_multi_transform():
+    """fused_grouped_adamw must be numerically identical to the optax
+    chain(clip_by_global_norm, multi_transform(4x adamw)) composition over a
+    multi-step trajectory with lr-mul, frozen groups, and clipping both
+    triggered and not."""
+    params = _params()
+    sched = get_schedule("cosine", 1e-2, 50, warmup_ratio=0.1)
+    kwargs = dict(
+        weight_decay=0.1, lr_mul=2.0, lr_mul_prefix="vision",
+        frozen_patterns=("cnn",), max_grad_norm=2.0,
+    )
+    tx_f, labels = build_optimizer(params, sched, fused=True, **kwargs)
+    tx_m, _ = build_optimizer(params, sched, fused=False, **kwargs)
+
+    sf, sm = tx_f.init(params), tx_m.init(params)
+    # frozen leaves carry empty moments instead of masked nodes
+    assert sf.mu["cnn"]["conv"]["kernel"].size == 0
+    pf = pm = params
+    rng = np.random.default_rng(0)
+    for step in range(4):
+        scale = 100.0 if step == 1 else 0.01  # trip the norm clip once
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) * scale, p.dtype), params
+        )
+        uf, sf = tx_f.update(grads, sf, pf)
+        um, sm = tx_m.update(grads, sm, pm)
+        pf = optax.apply_updates(pf, uf)
+        pm = optax.apply_updates(pm, um)
+        for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(pm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    # frozen leaf never moved
+    np.testing.assert_array_equal(
+        np.asarray(pf["cnn"]["conv"]["kernel"]), np.asarray(params["cnn"]["conv"]["kernel"])
+    )
+
+
+def test_fused_no_clip_and_accum():
+    params = _params()
+    sched = get_schedule("constant", 1e-2, 10)
+    tx_f, _ = build_optimizer(params, sched, weight_decay=0.0, max_grad_norm=None, fused=True)
+    tx_m, _ = build_optimizer(params, sched, weight_decay=0.0, max_grad_norm=None, fused=False)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    uf, _ = tx_f.update(g, tx_f.init(params), params)
+    um, _ = tx_m.update(g, tx_m.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(uf), jax.tree_util.tree_leaves(um)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+    # MultiSteps wrapping still works on the fused transform
+    tx_acc, _ = build_optimizer(params, sched, weight_decay=0.0, grad_accum_steps=2, fused=True)
+    state = tx_acc.init(params)
+    u1, state = tx_acc.update(g, state, params)
+    assert float(jnp.abs(u1["vision"]["kernel"]).max()) == 0.0
+    u2, state = tx_acc.update(g, state, params)
+    assert float(jnp.abs(u2["vision"]["kernel"]).max()) > 0.0

@@ -147,3 +147,44 @@ def test_eval_step_gathers_global_features():
     np.testing.assert_allclose(
         np.asarray(out["vis_features"]), np.asarray(want["vis_features"]), rtol=1e-5
     )
+
+
+def test_multi_step_dispatch_matches_sequential():
+    """steps_per_call=K (one scan-chained dispatch over stacked batches) must
+    reproduce K sequential single-step dispatches exactly — same rng-split
+    discipline, same state trajectory."""
+    mesh, model, params, loss_fn, step1, state, _batch, _ = _setup()
+
+    rng0 = np.random.default_rng(7)
+    batches = [
+        {"video": rng0.normal(size=(16, 32)).astype(np.float32),
+         "text": rng0.normal(size=(16, 24)).astype(np.float32)}
+        for _ in range(3)
+    ]
+
+    # sequential truth, mirroring the trainer's per-step rng split
+    seq_state = state
+    rng = jax.random.PRNGKey(5)
+    seq_losses = []
+    for b in batches:
+        rng, step_rng = jax.random.split(rng)
+        seq_state, m = step1(seq_state, shard_host_batch(b, mesh), step_rng)
+        seq_losses.append(float(m["loss"]))
+
+    sched = get_schedule("linear", 1e-2, 100, warmup_ratio=0.0)
+    tx, _ = build_optimizer(seq_state.params, sched, weight_decay=0.0)
+
+    def apply_fn(p, batch, rng):
+        return model.apply({"params": p}, batch["video"], batch["text"])
+
+    stepk = make_train_step(apply_fn, tx, mesh, loss_fn, donate=False, steps_per_call=3)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    stacked = shard_host_batch(stacked, mesh, leading_stack=True)
+    k_state, k_metrics = stepk(state, stacked, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(np.asarray(k_metrics["loss"]), seq_losses, rtol=1e-5)
+    assert int(k_state.step) == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(k_state.params), jax.tree_util.tree_leaves(seq_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -47,6 +47,9 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--grad_norm", type=float, default=2.0)
     p.add_argument("--num_train_steps", type=int, default=1000)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps fused into one dispatch via lax.scan "
+                        "(amortizes host dispatch; see PERF.md)")
     p.add_argument("--lr_mul", type=float, default=1.0)
     p.add_argument("--lr_mul_prefix", type=str, default="")
     p.add_argument("--loss_name", type=str, default="NCELearnableTempLoss")

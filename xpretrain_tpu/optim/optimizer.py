@@ -63,6 +63,88 @@ def param_group_labels(
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def fused_grouped_adamw(
+    labels: Any,
+    schedule: Callable,
+    weight_decay: float,
+    betas: tuple[float, float],
+    eps: float,
+    lr_mul: float,
+    max_grad_norm: float | None,
+) -> optax.GradientTransformation:
+    """Single-pass grouped AdamW+clip: one fused traversal of the tree.
+
+    Numerically identical to ``chain(clip_by_global_norm, multi_transform(4x
+    optax.adamw))`` (asserted in tests). Measured inside a compiled train
+    step the two are the same speed — XLA fuses the optax composition to the
+    same single-traversal code (PERF.md) — so the wins here are structural:
+    a flat ``ScaleByAdamState`` (count, mu, nu) that checkpoints and shards
+    without masked-wrapper nesting, and frozen leaves carrying empty
+    (size-0) moments instead of full-size masked state, the memory analogue
+    of ``optax.set_to_zero``'s stateless group.
+    """
+    import jax.numpy as jnp
+
+    b1, b2 = betas
+    labels_flat = jax.tree_util.tree_leaves(labels)
+
+    def group_of(label: str) -> tuple[float, float]:
+        mul = lr_mul if label.startswith("top_") else 1.0
+        wd = weight_decay if label.endswith("_decay") and not label.endswith("no_decay") else 0.0
+        return mul, wd
+
+    def init_fn(params):
+        def moment(label, p):
+            return jnp.zeros((0,), p.dtype) if label == "frozen" else jnp.zeros_like(p)
+
+        mu = jax.tree_util.tree_map(moment, labels, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32), mu=mu, nu=jax.tree_util.tree_map(moment, labels, params)
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("fused_grouped_adamw requires params")
+        g_flat, tdef = jax.tree_util.tree_flatten(grads)
+        p_flat = jax.tree_util.tree_leaves(params)
+        mu_flat = jax.tree_util.tree_leaves(state.mu)
+        nu_flat = jax.tree_util.tree_leaves(state.nu)
+
+        if max_grad_norm is not None and max_grad_norm > 0:
+            gnorm = optax.global_norm(grads)
+            trigger = gnorm < max_grad_norm
+        else:
+            trigger = None
+        lr = schedule(state.count)  # optax: schedule evaluated pre-increment
+        count = state.count + 1
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        upd, mu2, nu2 = [], [], []
+        for g, m, v, p, label in zip(g_flat, mu_flat, nu_flat, p_flat, labels_flat):
+            if label == "frozen":
+                upd.append(jnp.zeros_like(p))
+                mu2.append(m)
+                nu2.append(v)
+                continue
+            mul, wd = group_of(label)
+            if trigger is not None:
+                # exact optax clip_by_global_norm op order for parity
+                g = jax.lax.select(trigger, g, (g / gnorm.astype(g.dtype)) * max_grad_norm)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * jnp.square(g)
+            u = (m / c1) / (jnp.sqrt(v / c2) + eps) + wd * p
+            upd.append((-lr * mul) * u)
+            mu2.append(m)
+            nu2.append(v)
+
+        unflatten = lambda leaves: jax.tree_util.tree_unflatten(tdef, leaves)
+        new_state = optax.ScaleByAdamState(count=count, mu=unflatten(mu2), nu=unflatten(nu2))
+        return unflatten(upd), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     params: Any,
     schedule: Callable,
@@ -75,13 +157,17 @@ def build_optimizer(
     no_decay_patterns: Sequence[str] = NO_DECAY_DEFAULT,
     grad_accum_steps: int = 1,
     frozen_patterns: Sequence[str] = (),
+    fused: bool = True,
 ) -> tuple[optax.GradientTransformation, Any]:
     """Build the grouped AdamW; returns (tx, labels).
 
     ``schedule`` maps step -> base lr; the top groups use ``lr_mul * lr``.
     Global-norm clipping runs before Adam (the reference clips master grads
     at ``run_pretrain.py:408-411``). ``frozen_patterns`` zero out updates
-    (stage-freezing, see :func:`param_group_labels`).
+    (stage-freezing, see :func:`param_group_labels`). ``fused=True`` (the
+    default) uses the single-traversal kernel-fused implementation
+    (:func:`fused_grouped_adamw`); ``fused=False`` keeps the optax
+    ``multi_transform`` composition it is tested against.
     """
 
     def adamw(mul: float, wd: float) -> optax.GradientTransformation:
@@ -94,21 +180,26 @@ def build_optimizer(
         )
 
     labels = param_group_labels(params, lr_mul_prefix, no_decay_patterns, frozen_patterns)
-    tx = optax.multi_transform(
-        {
-            "base_decay": adamw(1.0, weight_decay),
-            "base_no_decay": adamw(1.0, 0.0),
-            "top_decay": adamw(lr_mul, weight_decay),
-            "top_no_decay": adamw(lr_mul, 0.0),
-            "frozen": optax.set_to_zero(),
-        },
-        labels,
-    )
-    chain = []
-    if max_grad_norm is not None and max_grad_norm > 0:
-        chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(tx)
-    out = optax.chain(*chain)
+    if fused:
+        out = fused_grouped_adamw(
+            labels, schedule, weight_decay, betas, eps, lr_mul, max_grad_norm
+        )
+    else:
+        tx = optax.multi_transform(
+            {
+                "base_decay": adamw(1.0, weight_decay),
+                "base_no_decay": adamw(1.0, 0.0),
+                "top_decay": adamw(lr_mul, weight_decay),
+                "top_no_decay": adamw(lr_mul, 0.0),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        )
+        chain = []
+        if max_grad_norm is not None and max_grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(max_grad_norm))
+        chain.append(tx)
+        out = optax.chain(*chain)
     if grad_accum_steps > 1:
         out = optax.MultiSteps(out, every_k_schedule=grad_accum_steps)
     return out, labels

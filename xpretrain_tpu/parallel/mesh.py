@@ -109,14 +109,20 @@ def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> in
     return global_batch // n
 
 
-def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, leading_stack: bool = False):
     """Place a host-side (numpy) batch onto the mesh, sharded on axis 0.
 
     The device-put here is the TPU equivalent of the reference's
     PrefetchLoader H2D copy (``CLIP-ViP/src/datasets/dataloader.py:92-157``);
     async dispatch overlaps the transfer with the previous step's compute.
+
+    ``leading_stack=True``: the batch carries a leading steps-per-call K axis
+    ([K, B, ...]); the *second* axis is the batch axis to shard.
     """
-    sharding = batch_sharding(mesh, axis)
+    spec = P(None, axis) if leading_stack else P(axis)
+    sharding = NamedSharding(mesh, spec)
+    min_ndim = 2 if leading_stack else 1
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) > 0 else x, batch
+        lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) >= min_ndim else x,
+        batch,
     )

@@ -148,10 +148,12 @@ class ClipVipTrainer:
                 if cfg.get("zero2", True)
                 else None
             )
+        self.steps_per_call = max(1, int(cfg.get("steps_per_call", 1)))
         self.train_step = make_train_step(
             self._apply_train, self.tx, self.mesh, loss_fn,
             opt_state_shardings=opt_shardings,
             param_shardings=self.param_shardings,
+            steps_per_call=self.steps_per_call,
         )
         self.eval_step = make_eval_step(
             self._apply_eval, self.mesh, param_shardings=self.param_shardings
@@ -220,32 +222,55 @@ class ClipVipTrainer:
         log_every = int(self.cfg.get("log_steps", 20))
         t0 = time.time()
         it = iter(self.train_loader)
-        for step in range(start_step, self.num_train_steps):
+        k = self.steps_per_call
+
+        def next_batch():
             batch = next(it)
             if isinstance(batch, tuple):  # MetaLoader yields (task, batch)
                 _task, batch = batch
-            batch = shard_host_batch(batch, self.mesh)
+            return batch
+
+        def crossed(step_before: int, step_after: int, every: int) -> bool:
+            return step_after // every > step_before // every
+
+        step = start_step
+        last_log_step = start_step
+        while step < self.num_train_steps:
+            chunk = min(k, self.num_train_steps - step)
             rng, step_rng = jax.random.split(rng)
-            state, metrics = self.train_step(state, batch, step_rng)
-            if (step + 1) % log_every == 0:
-                loss = float(metrics["loss"])
+            if chunk == 1 and k == 1:
+                batch = shard_host_batch(next_batch(), self.mesh)
+                state, metrics = self.train_step(state, batch, step_rng)
+                last = lambda v: v
+            else:
+                # stack `chunk` host batches on a leading axis: one dispatch
+                # runs them all via lax.scan (parallel/train_step._scan_steps)
+                batches = [next_batch() for _ in range(chunk)]
+                stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+                stacked = shard_host_batch(stacked, self.mesh, leading_stack=True)
+                state, metrics = self.train_step(state, stacked, step_rng)
+                last = lambda v: v[-1]
+            prev, step = step, step + chunk
+            if crossed(prev, step, log_every):
+                loss = float(last(metrics["loss"]))
                 self.meter(loss)
-                sps = log_every / (time.time() - t0)
+                sps = (step - last_log_step) / max(time.time() - t0, 1e-9)
+                last_log_step = step
                 t0 = time.time()
                 LOGGER.info(
-                    "step %d/%d loss %.4f | %.2f steps/s", step + 1, self.num_train_steps, loss, sps
+                    "step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps
                 )
                 self.writer.log_scalar_dict(
-                    {"loss": loss, "steps_per_s": sps, "grad_norm": float(metrics["grad_norm"])},
+                    {"loss": loss, "steps_per_s": sps, "grad_norm": float(last(metrics["grad_norm"]))},
                     prefix="train",
-                    step=step + 1,
+                    step=step,
                 )
-            if (step + 1) % valid_every == 0 and self.val_loader is not None:
+            if crossed(prev, step, valid_every) and self.val_loader is not None:
                 report = self.validate(state.params)
                 score = report.get("t2v", {}).get("R1", 0.0)
-                self.best.maybe_save(step + 1, score, jax.tree_util.tree_map(np.asarray, state.params))
-                self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=step + 1)
-            if (step + 1) % save_every == 0:
-                self.ckpt.save(step + 1, jax.tree_util.tree_map(np.asarray, state))
+                self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
+                self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=step)
+            if crossed(prev, step, save_every):
+                self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
         self.writer.flush()
         return state
