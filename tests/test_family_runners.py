@@ -236,3 +236,52 @@ def test_stage2_presets_parse():
     assert lf["train_batch_size"] == 48
     assert lf["mlm_loss_weight"] == 1.0 and lf["vtm_loss_weight"] == 10.0
     assert "video_encoder" in lf["frozen_patterns"]
+
+
+def test_lfvila_runner_bert_base_hash_vocab_finite(tmp_path):
+    """Regression: with bert 'base' (vocab 30522) the hash tokenizer must be
+    clamped to the model vocab — out-of-range ids turned text embeddings
+    into NaN (jnp.take fill semantics) and every loss went NaN."""
+    import json
+
+    from xpretrain_tpu.cli import run_pretrain_lfvila
+
+    cfg_yaml = tmp_path / "tiny.yaml"
+    cfg_yaml.write_text(
+        """
+video_encoder:
+  patch_size: [1, 8, 8]
+  embed_dim: 32
+  depths: [1, 1, 2, 1, 1, 1]
+  num_heads: [2, 2, 4, 4, 4, 4]
+  stages: [0, 1, 2, 2, 2, 3]
+  downsample_stages: [0, 1, 4]
+  window_size: [[2, 3, 5], [4, 3, 5], [8, 3, 5], [16, 3, 5], [16, 3, 5], [32, 3, 5]]
+  local_window: 4
+bert: base
+num_local_layers: 2
+stage1_layers: 4
+sample_frame: 8
+sample_clip: 4
+"""
+    )
+    out = tmp_path / "out"
+    state = run_pretrain_lfvila.main(
+        [
+            "--config", str(cfg_yaml),
+            "--dummy_data", "1",
+            "--num_train_steps", "1",
+            "--train_batch_size", "8",
+            "--input_hw", "96", "160",
+            "--sample_frame", "8",
+            "--max_txt_len", "8",
+            "--output_dir", str(out),
+            "--log_steps", "1",
+            "--bf16", "0",
+            "--learning_rate", "1e-4",
+        ]
+    )
+    assert int(state.step) == 1
+    rows = [json.loads(l) for l in (out / "log" / "scalars.jsonl").read_text().splitlines()]
+    losses = [r["value"] for r in rows if r["tag"] == "train/loss"]
+    assert losses and all(np.isfinite(losses)), losses

@@ -1,8 +1,16 @@
 """Extended benchmark: per-family throughput on the real TPU chip.
 
 Beyond bench.py's headline metric, measures representative forward configs
-of all three model families and writes PERF.md. Run manually:
-    python tools/bench_report.py [--quick]
+of all three model families plus the CLIP-ViP train step, and writes a
+markdown table. Run manually:
+    python tools/bench_report.py [--quick] [--out PERF_TABLE.md]
+
+Methodology: every row is scan-chained — K iterations inside ONE jit via
+``lax.scan`` with a data-dependent carry (XLA cannot hoist the body), a
+single scalar fetched per timing, per-step = wall/K. Per-call timings on a
+tunneled chip carry ~28 ms RTT plus pytree-size-dependent dispatch overhead
+(PERF.md "dispatch overhead") and overstate step time badly for sub-100 ms
+steps; scan chaining removes both.
 """
 
 from __future__ import annotations
@@ -38,15 +46,32 @@ def with_mfu(row, flops, t):
     return row
 
 
-def median_time(fn, warmup=3, iters=8):
-    for _ in range(warmup):
-        fn()
+def scan_timed(body, args, K, warmup=1, iters=5):
+    """Median per-step time + per-step FLOPs of ``body(carry, *args)``
+    chained K times inside one jit. ``body`` must return a f32 scalar carry
+    derived from its output (data dependence defeats loop hoisting)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_k(c0, *a):
+        def step(c, _):
+            return body(c, *a), None
+
+        c, _ = jax.lax.scan(step, c0, None, length=K)
+        return c
+
+    for i in range(warmup):
+        float(run_k(jnp.float32(i), *args))
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        fn()
+        float(run_k(jnp.float32(i + 1), *args))
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    t = sorted(ts)[len(ts) // 2] / K
+    # XLA cost_analysis counts the while-loop body ONCE (verified against
+    # the analytic per-step FLOPs of the unrolled forward), so no /K here.
+    return t, flops_of(run_k, jnp.float32(0), *args)
 
 
 def bench_clipvip(quick=False):
@@ -56,7 +81,7 @@ def bench_clipvip(quick=False):
     from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
 
     model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16))
-    b = 64 if quick else 256
+    b = 8 if quick else 24  # measured serving optimum (PERF.md batch sweep)
     f, im, s = 12, 224, 70
     ids = np.zeros((b, s), np.int64)
     ids[:, 0], ids[:, 1:10], ids[:, 10] = 49406, 500, 49407
@@ -69,16 +94,16 @@ def bench_clipvip(quick=False):
 
     video = gen(jax.random.PRNGKey(0))
     params = model.init(jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1])
-    fwd = jax.jit(lambda p, v, i, m: model.apply(p, v, i, m))
 
-    def run():
-        return float(np.asarray(fwd(params, video, ids, mask)["vis_features"])[0, 0])
+    def body(c, params, video, ids, mask):
+        v = video.at[0, 0, 0, 0, 0].set(c.astype(jnp.uint8))
+        out = model.apply(params, v, ids, mask)
+        return out["vis_features"][0, 0].astype(jnp.float32)
 
-    t = median_time(run)
+    t, flops = scan_timed(body, (params, video, ids, mask), K=10 if not quick else 3)
     return with_mfu(
-        {"model": "CLIP-ViP B/32 (12f 224², u8 ingest)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
-        flops_of(fwd, params, video, ids, mask), t)
+        {"model": "CLIP-ViP B/32 (12f 224², u8 ingest, serving batch)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
 
 
 def bench_lfvila(quick=False):
@@ -92,18 +117,16 @@ def bench_lfvila(quick=False):
     b = 2 if quick else 8
     video = jnp.zeros((b, 3, 32, 192, 320), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), video[:1])
-    # reduce on device: fetching full outputs over the device tunnel would
-    # dominate the timing
-    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v)[0].astype(jnp.float32)))
 
-    def run():
-        return float(np.asarray(fwd(params, video)))
+    def body(c, params, video):
+        v = video.at[0, 0, 0, 0, 0].set(c)
+        out = model.apply(params, v)[0]
+        return jnp.ravel(out)[0].astype(jnp.float32)
 
-    t = median_time(run, warmup=2, iters=5)
+    t, flops = scan_timed(body, (params, video), K=5 if quick else 10)
     return with_mfu(
         {"model": "LF-VILA Swin3D/HTWA (32f 192×320)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
-        flops_of(fwd, params, video), t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
 
 
 def bench_hdvila(quick=False):
@@ -118,28 +141,32 @@ def bench_hdvila(quick=False):
     middle = jnp.zeros((b, clips, 3, 640, 1024), jnp.float32)
     other = jnp.zeros((b, clips, frm - 1, 3, 160, 256), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), middle[:1], other[:1])
-    fwd = jax.jit(lambda p, m, o: jnp.sum(model.apply(p, m, o).astype(jnp.float32)))
 
-    def run():
-        return float(np.asarray(fwd(params, middle, other)))
+    def body(c, params, middle, other):
+        m = middle.at[0, 0, 0, 0, 0].set(c)
+        out = model.apply(params, m, other)
+        return jnp.ravel(out)[0].astype(jnp.float32)
 
-    t = median_time(run, warmup=2, iters=5)
+    t, flops = scan_timed(body, (params, middle, other), K=5 if quick else 10)
     return with_mfu(
         {"model": "HD-VILA hybrid encoder (2×7f, 640×1024 middle)", "batch": b * clips,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)},
-        flops_of(fwd, params, middle, other), t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}, flops, t)
 
 
 def bench_clipvip_train(quick=False):
-    """Full pretrain step (fwd+bwd+grouped-AdamW) — the steps/sec metric."""
+    """Full pretrain step (fwd+bwd+grouped-AdamW) — the steps/sec metric.
+
+    Chained by carrying (params, opt_state) through the scan — the same
+    steady-state trajectory ``steps_per_call`` runs in production.
+    """
     import jax
     import jax.numpy as jnp
+    import optax
 
     from xpretrain_tpu.models.clip_vip import CLIPVipConfig, CLIPViPModel
     from xpretrain_tpu.ops.losses import build_loss_fn
     from xpretrain_tpu.optim import build_optimizer, get_schedule
-    from xpretrain_tpu.parallel.mesh import create_mesh
-    from xpretrain_tpu.parallel.train_step import TrainState, make_train_step
+    from xpretrain_tpu.optim.optimizer import clamp_logit_scale
 
     # remat off: rematerialization measured slower at these batches (b=32:
     # 188 vs 202 clips/s, b=64: 207 vs 241) and HBM has ample headroom; remat
@@ -147,6 +174,7 @@ def bench_clipvip_train(quick=False):
     model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16, remat=False))
     b = 16 if quick else 32  # reference pretrain batch/GPU = 32
     f, im, s = 12, 224, 70
+    K = 3 if quick else 5
     ids = np.zeros((b, s), np.int64)
     ids[:, 0], ids[:, 1:10], ids[:, 10] = 49406, 500, 49407
     ids = jnp.asarray(ids)
@@ -160,33 +188,45 @@ def bench_clipvip_train(quick=False):
     params = model.init(jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1])["params"]
     sched = get_schedule("cosine", 5e-6, 100000)
     tx, _ = build_optimizer(params, sched, weight_decay=0.2)
-    mesh = create_mesh()
-    step = make_train_step(
-        lambda p, batch, rng: model.apply(
-            {"params": p}, batch["video"], batch["ids"], batch["mask"],
-            deterministic=False, rngs={"dropout": rng},
-        ),
-        tx, mesh, build_loss_fn("NCELearnableTempLoss"), donate=False,
-    )
-    state = TrainState.create(params, tx)
-    batch = {"video": video, "ids": ids, "mask": mask}
+    loss_fn = build_loss_fn("NCELearnableTempLoss")
 
-    def run():
-        nonlocal state
-        state, metrics = step(state, batch, jax.random.PRNGKey(1))
-        return float(np.asarray(metrics["loss"]))
+    @jax.jit
+    def run_k(params, opt_state, video, ids, mask):
+        def step(carry, _):
+            p, o = carry
+            p = clamp_logit_scale(p)
 
-    t = median_time(run, warmup=2, iters=5)
+            def loss_of(pp):
+                out = model.apply({"params": pp}, video, ids, mask)
+                return loss_fn(out["vis_features"], out["text_features"], out["logit_scale"])
+
+            loss, g = jax.value_and_grad(loss_of)(p)
+            u, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), o), loss
+
+        (_, _), losses = jax.lax.scan(step, (params, opt_state), None, length=K)
+        return losses[-1]
+
+    args = (params, tx.init(params), video, ids, mask)
+    float(run_k(*args))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(run_k(*args))
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[2] / K
+    flops = flops_of(run_k, *args)  # cost model counts the scan body once
     return with_mfu(
-        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)},
-        flops_of(step, state, batch, jax.random.PRNGKey(1)), t)
+        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, scan-chained)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--out", default="PERF.md")
+    p.add_argument("--out", default="PERF_TABLE.md",
+                   help="output table path (PERF.md itself is hand-curated; "
+                        "paste the refreshed table into its header section)")
     args = p.parse_args()
     rows = []
     for fn in (bench_clipvip, bench_clipvip_train, bench_lfvila, bench_hdvila):
@@ -199,13 +239,7 @@ def main():
     import jax
 
     with open(args.out, "w") as f:
-        f.write("# PERF — throughput + MFU on one chip\n\n")
-        f.write(f"Device: {jax.devices()[0]}\n\n")
-        f.write("MFU = XLA-analytic FLOPs / wall time / 197 TFLOP/s (v5e bf16 peak).\n")
-        f.write("The convolutional HD-VILA path and the u8-ingest CLIP-ViP forward are\n")
-        f.write("HBM-bandwidth- and transfer-shaped respectively, so their compute MFU\n")
-        f.write("understates hardware utilization; the train row is the roofline-relevant\n")
-        f.write("number for BASELINE.json's step-time target.\n\n")
+        f.write(f"Device: {jax.devices()[0]} — scan-chained timings (see PERF.md)\n\n")
         f.write("| model | batch | step ms | clips/s | TFLOPs | MFU |\n|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['model']} | {r['batch']} | {r['ms']} | {r['clips_per_s']} "

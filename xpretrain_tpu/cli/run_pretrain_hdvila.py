@@ -128,7 +128,12 @@ def main(argv=None):
 
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
-    tok = build_tokenizer(cfg.get("tokenizer", "hash"))
+    tok_kind = cfg.get("tokenizer", "hash")
+    # the hash (synthetic) tokenizer must stay inside the model's
+    # embedding table: BERT vocabs (30522) are smaller than the CLIP
+    # default (49408); out-of-range ids turn into NaN embeddings
+    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
+    tok = build_tokenizer(tok_kind, **tok_kwargs)
     stage2 = model_cfg.stage == 2
     use_mlm = stage2 and bool(cfg.get("use_mlm", 1))
     use_itm = stage2 and bool(cfg.get("use_itm", 1))

@@ -88,10 +88,12 @@ class GenericTrainer:
                 if cfg.get("zero2", True)
                 else None
             )
+        self.steps_per_call = max(1, int(cfg.get("steps_per_call", 1)))
         self.train_step = make_model_train_step(
             apply_fn, self.tx, self.mesh, metric_keys=metric_keys,
             opt_state_shardings=opt_shardings,
             param_shardings=self.param_shardings,
+            steps_per_call=self.steps_per_call,
         )
         out_dir = cfg.get("output_dir", "/tmp/xpt_output")
         self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)
@@ -118,30 +120,51 @@ class GenericTrainer:
         save_every = int(cfg.get("save_steps", 500))
         it = iter(self.train_loader)
         t0 = time.time()
-        for step in range(start_step, self.num_train_steps):
+        k = self.steps_per_call
+
+        def next_batch():
             batch = next(it)
             if isinstance(batch, tuple):
                 _task, batch = batch
-            batch = shard_host_batch(batch, self.mesh)
+            return batch
+
+        def crossed(before: int, after: int, every: int) -> bool:
+            return after // every > before // every
+
+        step = start_step
+        last_log_step = start_step
+        while step < self.num_train_steps:
+            chunk = min(k, self.num_train_steps - step)
             rng, step_rng = jax.random.split(rng)
-            state, metrics = self.train_step(state, batch, step_rng)
-            if (step + 1) % log_every == 0:
-                loss = float(metrics["loss"])
+            if chunk == 1 and k == 1:
+                batch = shard_host_batch(next_batch(), self.mesh)
+                state, metrics = self.train_step(state, batch, step_rng)
+                last = lambda v: v
+            else:
+                batches = [next_batch() for _ in range(chunk)]
+                stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+                stacked = shard_host_batch(stacked, self.mesh, leading_stack=True)
+                state, metrics = self.train_step(state, stacked, step_rng)
+                last = lambda v: v[-1]
+            prev, step = step, step + chunk
+            if crossed(prev, step, log_every):
+                loss = float(last(metrics["loss"]))
                 self.meter(loss)
-                sps = log_every / (time.time() - t0)
+                sps = (step - last_log_step) / max(time.time() - t0, 1e-9)
+                last_log_step = step
                 t0 = time.time()
-                LOGGER.info("step %d/%d loss %.4f | %.2f steps/s", step + 1, self.num_train_steps, loss, sps)
-                scalars = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+                LOGGER.info("step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps)
+                scalars = {k2: float(last(v)) for k2, v in metrics.items() if np.ndim(last(v)) == 0}
                 scalars["steps_per_s"] = sps
-                self.writer.log_scalar_dict(scalars, prefix="train", step=step + 1)
-            if self.eval_fn is not None and (step + 1) % valid_every == 0:
+                self.writer.log_scalar_dict(scalars, prefix="train", step=step)
+            if self.eval_fn is not None and crossed(prev, step, valid_every):
                 report = self.eval_fn(state.params)
                 score = report.get("score", 0.0)
-                self.best.maybe_save(step + 1, score, jax.tree_util.tree_map(np.asarray, state.params))
+                self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
                 self.writer.log_scalar_dict(
-                    {k: v for k, v in report.items() if np.ndim(v) == 0}, prefix="val", step=step + 1
+                    {k2: v for k2, v in report.items() if np.ndim(v) == 0}, prefix="val", step=step
                 )
-            if (step + 1) % save_every == 0:
-                self.ckpt.save(step + 1, jax.tree_util.tree_map(np.asarray, state))
+            if crossed(prev, step, save_every):
+                self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
         self.writer.flush()
         return state
