@@ -7,8 +7,9 @@ metric.
 Methodology: K=40 forwards are chained inside ONE jit via ``lax.scan`` with
 the input made data-dependent on the carry (so XLA cannot hoist the loop
 body), and a single scalar is fetched per timing. This amortizes the
-per-call host→device round-trip (~28 ms on a tunneled chip) to <1% of the
-measurement (included, not subtracted). Batch 24 is the measured throughput
+per-call host→device round-trip (~28 ms on a tunneled chip) to ~3% of the
+measurement (included, not subtracted — the reported number is the
+conservative end-to-end rate). Batch 24 is the measured throughput
 optimum on v5e — per-clip cost *rises* with batch for this model
 (1071 clips/s at b=24 vs 897 at b=64, sweep in PERF.md).
 

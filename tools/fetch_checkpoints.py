@@ -13,7 +13,7 @@ this script cannot run here — it is committed for users with connectivity.
 The converter itself is proven in-tree two ways without the download:
 live numerical parity against the reference module's state_dict
 (tests/test_clipvip_parity.py) and a byte-identical-format synthetic
-released checkpoint (tests/test_released_format.py builds a state dict
+released checkpoint (tests/test_clipvip_parity.py::test_released_checkpoint_file_format builds a state dict
 with the released file's exact key layout and round-trips it).
 
 Usage:

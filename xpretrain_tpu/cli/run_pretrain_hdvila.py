@@ -21,7 +21,7 @@ from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
 from xpretrain_tpu.data.datasets import FrameSource
 from xpretrain_tpu.data.datasets_hdvila import HdVilaPretrainCollator, HdVilaPretrainDataset
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator
-from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.data.tokenization import build_model_tokenizer
 from xpretrain_tpu.models.bert import BertConfig
 from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder, HdVilaEncoderConfig
 from xpretrain_tpu.models.hd_vila.modeling import HdVilaForPreTraining, HdVilaModelConfig
@@ -128,12 +128,7 @@ def main(argv=None):
 
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
-    tok_kind = cfg.get("tokenizer", "hash")
-    # the hash (synthetic) tokenizer must stay inside the model's
-    # embedding table: BERT vocabs (30522) are smaller than the CLIP
-    # default (49408); out-of-range ids turn into NaN embeddings
-    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
-    tok = build_tokenizer(tok_kind, **tok_kwargs)
+    tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     stage2 = model_cfg.stage == 2
     use_mlm = stage2 and bool(cfg.get("use_mlm", 1))
     use_itm = stage2 and bool(cfg.get("use_itm", 1))

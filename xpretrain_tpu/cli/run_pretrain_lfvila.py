@@ -20,7 +20,7 @@ from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
 from xpretrain_tpu.data.datasets import FrameSource
 from xpretrain_tpu.data.datasets_lfvila import LfVilaPretrainCollator, LfVilaPretrainDataset
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator
-from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.data.tokenization import build_model_tokenizer
 from xpretrain_tpu.models.bert import BertConfig
 from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
 from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig
@@ -101,12 +101,7 @@ def main(argv=None):
 
     model_cfg = lfvila_config_from(cfg)
     model = LfVilaPretrain(model_cfg)
-    tok_kind = cfg.get("tokenizer", "hash")
-    # the hash (synthetic) tokenizer must stay inside the model's
-    # embedding table: BERT vocabs (30522) are smaller than the CLIP
-    # default (49408); out-of-range ids turn into NaN embeddings
-    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
-    tok = build_tokenizer(tok_kind, **tok_kwargs)
+    tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     mlm = model_cfg.stage == 2
     collate = LfVilaPretrainCollator(tok, max_sent_len=int(cfg.get("max_txt_len", 50)), mlm=mlm)
     pi, pc = jax.process_index(), jax.process_count()

@@ -19,7 +19,7 @@ from xpretrain_tpu.data.datasets import FrameSource
 from xpretrain_tpu.data.datasets_hdvila import HdVilaPretrainCollator
 from xpretrain_tpu.data.datasets_hdvila_tasks import HdVilaClipLoader, HdVilaRetrievalDataset
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator, SequentialEvalLoader
-from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.data.tokenization import build_model_tokenizer
 from xpretrain_tpu.ops.losses import build_loss_fn
 from xpretrain_tpu.parallel.mesh import shard_host_batch
 from xpretrain_tpu.parallel.train_step import make_eval_step
@@ -41,12 +41,7 @@ def main(argv=None):
 
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
-    tok_kind = cfg.get("tokenizer", "hash")
-    # the hash (synthetic) tokenizer must stay inside the model's
-    # embedding table: BERT vocabs (30522) are smaller than the CLIP
-    # default (49408); out-of-range ids turn into NaN embeddings
-    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
-    tok = build_tokenizer(tok_kind, **tok_kwargs)
+    tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     collate = HdVilaPretrainCollator(
         tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=False, itm=False
     )

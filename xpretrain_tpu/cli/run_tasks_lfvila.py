@@ -33,7 +33,7 @@ from xpretrain_tpu.data.datasets_lfvila_tasks import (
     ViolinDataset,
 )
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator, SequentialEvalLoader
-from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.data.tokenization import build_model_tokenizer
 from xpretrain_tpu.models.lf_vila.tasks import (
     LfVilaQAClassification,
     LfVilaQAMultichoice,
@@ -114,12 +114,7 @@ def main(argv=None):
     save_training_meta(cfg.output_dir, cfg)
 
     model_cfg = lfvila_config_from(cfg)
-    tok_kind = cfg.get("tokenizer", "hash")
-    # the hash (synthetic) tokenizer must stay inside the model's
-    # embedding table: BERT vocabs (30522) are smaller than the CLIP
-    # default (49408); out-of-range ids turn into NaN embeddings
-    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
-    tok = build_tokenizer(tok_kind, **tok_kwargs)
+    tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     pi, pc = jax.process_index(), jax.process_count()
     max_sent = int(cfg.get("max_txt_len", 50))
 

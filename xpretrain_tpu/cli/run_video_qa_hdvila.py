@@ -25,7 +25,7 @@ from xpretrain_tpu.data.datasets_hdvila_tasks import (
     HdVilaQADataset,
 )
 from xpretrain_tpu.data.loader import BatchLoader, InfiniteIterator, SequentialEvalLoader
-from xpretrain_tpu.data.tokenization import build_tokenizer
+from xpretrain_tpu.data.tokenization import build_model_tokenizer
 from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder
 from xpretrain_tpu.models.hd_vila.modeling import (
     HdVilaForMultipleChoice,
@@ -223,12 +223,7 @@ def main(argv=None):
 
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
     model = HdVilaQAModel(enc_cfg, model_cfg, cfg.task_type, int(cfg.num_labels))
-    tok_kind = cfg.get("tokenizer", "hash")
-    # the hash (synthetic) tokenizer must stay inside the model's
-    # embedding table: BERT vocabs (30522) are smaller than the CLIP
-    # default (49408); out-of-range ids turn into NaN embeddings
-    tok_kwargs = {"vocab_size": model_cfg.bert.vocab_size} if tok_kind == "hash" else {}
-    tok = build_tokenizer(tok_kind, **tok_kwargs)
+    tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     train_loader, val_loader, val_ds = build_qa_data(cfg, tok)
 
     sample = next(iter(train_loader))

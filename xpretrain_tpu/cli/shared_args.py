@@ -47,6 +47,10 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--grad_norm", type=float, default=2.0)
     p.add_argument("--num_train_steps", type=int, default=1000)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--fused_adamw", type=int, default=1,
+                   help="single-traversal grouped AdamW (flat opt state); set 0 to\n"
+                        "restore the optax multi_transform state layout of older\n"
+                        "checkpoints")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused into one dispatch via lax.scan "
                         "(amortizes host dispatch; see PERF.md)")

@@ -273,6 +273,19 @@ def build_tokenizer(kind: str = "hash", **kwargs):
     raise ValueError(f"unknown tokenizer kind {kind!r}")
 
 
+def build_model_tokenizer(kind: str, model_vocab_size: int, **kwargs):
+    """Tokenizer builder clamped to the consuming model's embedding table.
+
+    The synthetic hash tokenizer defaults to the CLIP vocab (49408); BERT
+    tables are smaller (30522), and out-of-range ids become NaN embeddings
+    under ``jnp.take``'s fill semantics. Every runner that feeds a model
+    should build its tokenizer through here.
+    """
+    if kind == "hash":
+        kwargs.setdefault("vocab_size", int(model_vocab_size))
+    return build_tokenizer(kind, **kwargs)
+
+
 def mask_batch_text_tokens(
     ids: np.ndarray,
     mask_token_id: int,

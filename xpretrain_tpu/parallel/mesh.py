@@ -119,8 +119,9 @@ def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, leading_stack: bo
     ``leading_stack=True``: the batch carries a leading steps-per-call K axis
     ([K, B, ...]); the *second* axis is the batch axis to shard.
     """
-    spec = P(None, axis) if leading_stack else P(axis)
-    sharding = NamedSharding(mesh, spec)
+    sharding = (
+        NamedSharding(mesh, P(None, axis)) if leading_stack else batch_sharding(mesh, axis)
+    )
     min_ndim = 2 if leading_stack else 1
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) >= min_ndim else x,

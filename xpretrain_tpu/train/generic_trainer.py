@@ -10,14 +10,14 @@ the optax update with sharded optimizer state.
 
 from __future__ import annotations
 
-import time
+
 from typing import Any, Callable, Optional
 
 import jax
 import numpy as np
 
 from xpretrain_tpu.optim import build_optimizer, get_schedule
-from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
+from xpretrain_tpu.parallel.mesh import mesh_from_config
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
     tp_param_shardings,
@@ -28,6 +28,7 @@ from xpretrain_tpu.parallel.train_step import (
     zero2_state_shardings,
 )
 from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
+from xpretrain_tpu.train.loop import drive_train_loop
 from xpretrain_tpu.utils.logging import LOGGER, RunningMeter, ScalarWriter
 
 
@@ -72,6 +73,7 @@ class GenericTrainer:
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
             frozen_patterns=tuple(cfg.get("frozen_patterns", ())),
             **kwargs,
+            fused=bool(cfg.get("fused_adamw", True)),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
         tp = int(cfg.get("tp", 1) or 1)
@@ -115,56 +117,41 @@ class GenericTrainer:
             state = restored
         start_step = int(state.step)
         rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
-        log_every = int(cfg.get("log_steps", 20))
-        valid_every = int(cfg.get("valid_steps", 500))
-        save_every = int(cfg.get("save_steps", 500))
-        it = iter(self.train_loader)
-        t0 = time.time()
-        k = self.steps_per_call
+        def on_log(step, metrics, sps):
+            loss = float(metrics["loss"])
+            self.meter(loss)
+            LOGGER.info("step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps)
+            scalars = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+            scalars["steps_per_s"] = sps
+            self.writer.log_scalar_dict(scalars, prefix="train", step=step)
 
-        def next_batch():
-            batch = next(it)
-            if isinstance(batch, tuple):
-                _task, batch = batch
-            return batch
+        def on_validate(step, state):
+            if self.eval_fn is None:
+                return
+            report = self.eval_fn(state.params)
+            score = report.get("score", 0.0)
+            self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
+            self.writer.log_scalar_dict(
+                {k: v for k, v in report.items() if np.ndim(v) == 0}, prefix="val", step=step
+            )
 
-        def crossed(before: int, after: int, every: int) -> bool:
-            return after // every > before // every
+        def on_save(step, state):
+            self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
 
-        step = start_step
-        last_log_step = start_step
-        while step < self.num_train_steps:
-            chunk = min(k, self.num_train_steps - step)
-            rng, step_rng = jax.random.split(rng)
-            if chunk == 1 and k == 1:
-                batch = shard_host_batch(next_batch(), self.mesh)
-                state, metrics = self.train_step(state, batch, step_rng)
-                last = lambda v: v
-            else:
-                batches = [next_batch() for _ in range(chunk)]
-                stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
-                stacked = shard_host_batch(stacked, self.mesh, leading_stack=True)
-                state, metrics = self.train_step(state, stacked, step_rng)
-                last = lambda v: v[-1]
-            prev, step = step, step + chunk
-            if crossed(prev, step, log_every):
-                loss = float(last(metrics["loss"]))
-                self.meter(loss)
-                sps = (step - last_log_step) / max(time.time() - t0, 1e-9)
-                last_log_step = step
-                t0 = time.time()
-                LOGGER.info("step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps)
-                scalars = {k2: float(last(v)) for k2, v in metrics.items() if np.ndim(last(v)) == 0}
-                scalars["steps_per_s"] = sps
-                self.writer.log_scalar_dict(scalars, prefix="train", step=step)
-            if self.eval_fn is not None and crossed(prev, step, valid_every):
-                report = self.eval_fn(state.params)
-                score = report.get("score", 0.0)
-                self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
-                self.writer.log_scalar_dict(
-                    {k2: v for k2, v in report.items() if np.ndim(v) == 0}, prefix="val", step=step
-                )
-            if crossed(prev, step, save_every):
-                self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
+        state = drive_train_loop(
+            train_step=self.train_step,
+            loader=self.train_loader,
+            state=state,
+            rng=rng,
+            mesh=self.mesh,
+            num_train_steps=self.num_train_steps,
+            steps_per_call=self.steps_per_call,
+            log_every=int(cfg.get("log_steps", 20)),
+            valid_every=int(cfg.get("valid_steps", 500)),
+            save_every=int(cfg.get("save_steps", 500)),
+            on_log=on_log,
+            on_validate=on_validate,
+            on_save=on_save,
+        )
         self.writer.flush()
         return state

@@ -11,7 +11,7 @@ smoke test (ref ``run_pretrain.py:321-322``).
 
 from __future__ import annotations
 
-import time
+
 from typing import Any, Callable, Optional
 
 import jax
@@ -39,6 +39,7 @@ from xpretrain_tpu.parallel.train_step import (
 )
 from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
 from xpretrain_tpu.train.evaluate import evaluate_retrieval
+from xpretrain_tpu.train.loop import drive_train_loop
 from xpretrain_tpu.utils.logging import LOGGER, RunningMeter, ScalarWriter
 
 
@@ -130,6 +131,7 @@ class ClipVipTrainer:
             max_grad_norm=float(cfg.get("grad_norm", 2.0)),
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
             frozen_patterns=tuple(frozen),
+            fused=bool(cfg.get("fused_adamw", True)),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
@@ -217,60 +219,43 @@ class ClipVipTrainer:
             if report:
                 self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=start_step)
 
-        valid_every = int(self.cfg.get("valid_steps", 500))
-        save_every = int(self.cfg.get("save_steps", 500))
-        log_every = int(self.cfg.get("log_steps", 20))
-        t0 = time.time()
-        it = iter(self.train_loader)
-        k = self.steps_per_call
+        def on_log(step, metrics, sps):
+            loss = float(metrics["loss"])
+            self.meter(loss)
+            LOGGER.info(
+                "step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps
+            )
+            self.writer.log_scalar_dict(
+                {"loss": loss, "steps_per_s": sps, "grad_norm": float(metrics["grad_norm"])},
+                prefix="train",
+                step=step,
+            )
 
-        def next_batch():
-            batch = next(it)
-            if isinstance(batch, tuple):  # MetaLoader yields (task, batch)
-                _task, batch = batch
-            return batch
+        def on_validate(step, state):
+            if self.val_loader is None:
+                return
+            report = self.validate(state.params)
+            score = report.get("t2v", {}).get("R1", 0.0)
+            self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
+            self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=step)
 
-        def crossed(step_before: int, step_after: int, every: int) -> bool:
-            return step_after // every > step_before // every
+        def on_save(step, state):
+            self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
 
-        step = start_step
-        last_log_step = start_step
-        while step < self.num_train_steps:
-            chunk = min(k, self.num_train_steps - step)
-            rng, step_rng = jax.random.split(rng)
-            if chunk == 1 and k == 1:
-                batch = shard_host_batch(next_batch(), self.mesh)
-                state, metrics = self.train_step(state, batch, step_rng)
-                last = lambda v: v
-            else:
-                # stack `chunk` host batches on a leading axis: one dispatch
-                # runs them all via lax.scan (parallel/train_step._scan_steps)
-                batches = [next_batch() for _ in range(chunk)]
-                stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
-                stacked = shard_host_batch(stacked, self.mesh, leading_stack=True)
-                state, metrics = self.train_step(state, stacked, step_rng)
-                last = lambda v: v[-1]
-            prev, step = step, step + chunk
-            if crossed(prev, step, log_every):
-                loss = float(last(metrics["loss"]))
-                self.meter(loss)
-                sps = (step - last_log_step) / max(time.time() - t0, 1e-9)
-                last_log_step = step
-                t0 = time.time()
-                LOGGER.info(
-                    "step %d/%d loss %.4f | %.2f steps/s", step, self.num_train_steps, loss, sps
-                )
-                self.writer.log_scalar_dict(
-                    {"loss": loss, "steps_per_s": sps, "grad_norm": float(last(metrics["grad_norm"]))},
-                    prefix="train",
-                    step=step,
-                )
-            if crossed(prev, step, valid_every) and self.val_loader is not None:
-                report = self.validate(state.params)
-                score = report.get("t2v", {}).get("R1", 0.0)
-                self.best.maybe_save(step, score, jax.tree_util.tree_map(np.asarray, state.params))
-                self.writer.log_scalar_dict(report.get("t2v", {}), prefix="val_t2v", step=step)
-            if crossed(prev, step, save_every):
-                self.ckpt.save(step, jax.tree_util.tree_map(np.asarray, state))
+        state = drive_train_loop(
+            train_step=self.train_step,
+            loader=self.train_loader,
+            state=state,
+            rng=rng,
+            mesh=self.mesh,
+            num_train_steps=self.num_train_steps,
+            steps_per_call=self.steps_per_call,
+            log_every=int(self.cfg.get("log_steps", 20)),
+            valid_every=int(self.cfg.get("valid_steps", 500)),
+            save_every=int(self.cfg.get("save_steps", 500)),
+            on_log=on_log,
+            on_validate=on_validate,
+            on_save=on_save,
+        )
         self.writer.flush()
         return state
