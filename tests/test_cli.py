@@ -124,3 +124,34 @@ def test_pretrain_cli_tensor_parallel(tmp_path):
         ]
     )
     assert (tmp_path / "log" / "args.json").exists()
+
+
+def test_retrieval_cli_save_feats(tmp_path):
+    """--save_feats dumps the gathered eval features + ids (the reference's
+    save_feat option, run_video_retrieval.py:233)."""
+    from xpretrain_tpu.cli import run_retrieval_clipvip
+
+    feats = tmp_path / "feats.npz"
+    run_retrieval_clipvip.main(
+        [
+            "--mode", "eval",
+            "--dummy_data", "1",
+            "--num_frm", "2",
+            "--crop_img_size", "32",
+            "--max_txt_len", "12",
+            "--val_batch_size", "8",
+            "--train_batch_size", "8",
+            "--num_train_steps", "1",
+            "--output_dir", str(tmp_path),
+            "--clip_size", "tiny",
+            "--validate_at_start", "0",
+            "--save_feats", str(feats),
+        ]
+    )
+    data = np.load(feats)
+    assert data["vis_features"].shape == data["text_features"].shape
+    assert data["vis_features"].shape[0] == 128  # dummy val ds size
+    assert data["ids"].shape == (128,)
+    # features are L2-normalized by the model forward
+    norms = np.linalg.norm(data["vis_features"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)

@@ -123,6 +123,8 @@ def load_pretrained(cfg, trainer):
 def main(argv=None):
     parser = build_shared_parser("CLIP-ViP video retrieval")
     parser.add_argument("--mode", type=str, default="train", choices=["train", "eval"])
+    parser.add_argument("--save_feats", type=str, default="",
+                        help="dump gathered eval features (+ids) to this .npz (ref run_video_retrieval.py:233 save_feat)")
     cfg = parse_args(parser, argv)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
@@ -134,12 +136,13 @@ def main(argv=None):
     )
     load_pretrained(cfg, trainer)
 
+    feats_path = cfg.get("save_feats") or None
     if cfg.mode == "eval":
-        report = trainer.validate(trainer.init_params)
+        report = trainer.validate(trainer.init_params, save_feats_path=feats_path)
         save_json(report, f"{cfg.output_dir}/eval_report.json", pretty=True)
         return report
     state = trainer.train()
-    report = trainer.validate(state.params)
+    report = trainer.validate(state.params, save_feats_path=feats_path)
     save_json(report, f"{cfg.output_dir}/final_report.json", pretty=True)
     return report
 

@@ -64,21 +64,26 @@ def evaluate_retrieval(
     ``save_feats_path`` dumps the gathered features as .npz (the reference's
     ``save_feat`` option, ``run_video_retrieval.py:233``).
     """
-    vis_chunks, text_chunks = [], []
+    vis_chunks, text_chunks, id_chunks = [], [], []
     start = time.time()
     n_clips = 0
     for batch in loader:
         out = eval_step(params, batch)
         vis_chunks.append(np.asarray(out["vis_features"], dtype=np.float32))
         text_chunks.append(np.asarray(out["text_features"], dtype=np.float32))
+        if "ids" in batch:
+            id_chunks.append(np.asarray(batch["ids"]))
         n_clips += vis_chunks[-1].shape[0]
     wall = time.time() - start
     vis = np.concatenate(vis_chunks)
     text = np.concatenate(text_chunks)
+    ids = np.concatenate(id_chunks) if id_chunks else None
     if valid_len is not None:
         vis, text = vis[:valid_len], text[:valid_len]
+        ids = ids[:valid_len] if ids is not None else None
     if save_feats_path is not None:
-        np.savez(save_feats_path, vis_features=vis, text_features=text)
+        extra = {"ids": ids} if ids is not None else {}
+        np.savez(save_feats_path, vis_features=vis, text_features=text, **extra)
     sim_t2v = text @ vis.T
     report = retrieval_report(sim_t2v)
     report["perf"] = {"wall_s": wall, "clips_per_s": n_clips / max(wall, 1e-9)}

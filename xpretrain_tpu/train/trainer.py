@@ -198,13 +198,16 @@ class ClipVipTrainer:
 
     # ---- loops ----------------------------------------------------------
 
-    def validate(self, params) -> dict:
+    def validate(self, params, save_feats_path: Optional[str] = None) -> dict:
         if self.val_loader is None:
             return {}
         loader = (
             shard_host_batch(b, self.mesh) for b in self.val_loader
         )
-        return evaluate_retrieval(self.eval_step, params, loader, self.val_valid_len)
+        return evaluate_retrieval(
+            self.eval_step, params, loader, self.val_valid_len,
+            save_feats_path=save_feats_path,
+        )
 
     def train(self) -> TrainState:
         state = TrainState.create(self.init_params, self.tx)
