@@ -84,3 +84,29 @@ def test_remainder_chunk_and_save_boundaries():
     assert state.step == 5
     assert calls == [2, 2, 1]  # two full chunks + remainder
     assert saves == [2, 4]  # boundary 4 crossed in second chunk; 5 is not a boundary
+
+
+def test_profiler_trace_capture(tmp_path):
+    mesh = create_mesh()
+
+    def fake_step(state, batch, rng):
+        return _State(state.step + 1), {"loss": jnp.zeros(())}
+
+    state = drive_train_loop(
+        train_step=fake_step,
+        loader=iter(lambda: {"x": np.zeros((8, 2), np.float32)}, None),
+        state=_State(0),
+        rng=jax.random.PRNGKey(0),
+        mesh=mesh,
+        num_train_steps=4,
+        steps_per_call=1,
+        log_every=100,
+        valid_every=100,
+        save_every=100,
+        profile_dir=str(tmp_path / "profile"),
+        profile_start_step=1,
+        profile_num_steps=2,
+    )
+    assert state.step == 4
+    files = list((tmp_path / "profile").rglob("*"))
+    assert any(f.is_file() for f in files), files

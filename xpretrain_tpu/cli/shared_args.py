@@ -80,6 +80,9 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--valid_steps", type=int, default=500)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--validate_at_start", type=int, default=1)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler device trace over N steps into output_dir/profile")
+    p.add_argument("--profile_start_step", type=int, default=3)
 
     # model
     p.add_argument("--clip_size", type=str, default="base_32",

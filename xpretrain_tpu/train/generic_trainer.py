@@ -152,6 +152,9 @@ class GenericTrainer:
             on_log=on_log,
             on_validate=on_validate,
             on_save=on_save,
+            profile_dir=f"{cfg.get('output_dir', '/tmp/xpt_output')}/profile",
+            profile_start_step=int(cfg.get("profile_start_step", 3)),
+            profile_num_steps=int(cfg.get("profile_steps", 0)),
         )
         self.writer.flush()
         return state

@@ -66,6 +66,9 @@ def drive_train_loop(
     on_log: Optional[Callable[[int, dict, float], None]] = None,
     on_validate: Optional[Callable[[int, Any], None]] = None,
     on_save: Optional[Callable[[int, Any], None]] = None,
+    profile_dir: Optional[str] = None,
+    profile_start_step: int = 3,
+    profile_num_steps: int = 0,
 ):
     """Drive ``train_step`` from ``int(state.step)`` to ``num_train_steps``.
 
@@ -90,7 +93,20 @@ def drive_train_loop(
     step = start_step
     last_log_step = start_step
     t0 = time.time()
+    profiling = False
+    prof_end = profile_start_step + profile_num_steps
     while step < num_train_steps:
+        if (
+            profile_dir
+            and profile_num_steps > 0
+            and not profiling
+            and step >= profile_start_step
+            and step < prof_end
+        ):
+            # jax.profiler device trace over the next profile_num_steps
+            # (SURVEY §5.1: the reference has no tracing; TB wall-clock only)
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         chunk = min(k, num_train_steps - step)
         rng, step_rng = jax.random.split(rng)
         if chunk == 1 and k == 1:
@@ -103,6 +119,13 @@ def drive_train_loop(
             state, metrics = train_step(state, stacked, step_rng)
             at = lambda i: jax.tree_util.tree_map(lambda v: v[i], metrics)
         prev, step = step, step + chunk
+        if profiling and step >= prof_end:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                metrics,
+            )
+            jax.profiler.stop_trace()
+            profiling = False
         if on_log is not None and crossed(prev, step, log_every):
             # log EVERY boundary the chunk crossed, from that sub-step's row
             elapsed = max(time.time() - t0, 1e-9)
@@ -116,4 +139,6 @@ def drive_train_loop(
             on_validate(step, state)
         if on_save is not None and crossed(prev, step, save_every):
             on_save(step, state)
+    if profiling:  # num_train_steps ended inside the profiled window
+        jax.profiler.stop_trace()
     return state
