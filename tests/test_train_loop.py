@@ -110,3 +110,17 @@ def test_profiler_trace_capture(tmp_path):
     assert state.step == 4
     files = list((tmp_path / "profile").rglob("*"))
     assert any(f.is_file() for f in files), files
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    state = {"w": np.arange(8, dtype=np.float32), "step": np.asarray(3, np.int32)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    mgr.save(3, state)       # returns before durable
+    mgr.save(5, {"w": state["w"] * 2, "step": np.asarray(5, np.int32)})
+    mgr.wait()
+    assert mgr.latest_step() == 5
+    restored = mgr.restore({"w": np.zeros(8, np.float32), "step": np.asarray(0, np.int32)})
+    np.testing.assert_array_equal(restored["w"], state["w"] * 2)
+    mgr.close()

@@ -69,6 +69,8 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--gradient_checkpointing", type=int, default=0)
     p.add_argument("--zero2", type=int, default=1, help="shard optimizer state over the mesh")
+    p.add_argument("--async_checkpoint", type=int, default=0,
+                   help="non-blocking orbax saves (next save surfaces prior errors)")
     p.add_argument(
         "--tp", type=int, default=1,
         help="tensor-parallel degree: >1 builds a (data, model) mesh with "

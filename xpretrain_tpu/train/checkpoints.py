@@ -32,16 +32,38 @@ from xpretrain_tpu.utils.logging import LOGGER
 class CheckpointManager:
     """Thin orbax wrapper holding train state = {params, opt_state, step}."""
 
-    def __init__(self, directory: str, max_to_keep: int = 2, retries: int = 10):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 2,
+        retries: int = 10,
+        async_save: bool = False,
+    ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.retries = retries
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
+        """Write a checkpoint.
+
+        Sync mode (default): blocks until durable, with the reference's
+        bounded retry (``load_save.py:47-63``). Async mode: waits for the
+        *previous* async write (surfacing its error as a warning — the next
+        periodic save is the retry), then dispatches this one and returns
+        while orbax persists in the background; ``close()`` drains.
+        """
+        if self.async_save:
+            try:
+                self._mgr.wait_until_finished()
+            except Exception as e:  # noqa: BLE001 - prior write failed
+                LOGGER.warning("previous async checkpoint failed: %s", e)
+            self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+            return
         for attempt in range(self.retries):
             try:
                 self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
@@ -51,6 +73,9 @@ class CheckpointManager:
                 LOGGER.warning("checkpoint save attempt %d failed: %s", attempt, e)
                 time.sleep(min(2**attempt, 30))
         raise RuntimeError(f"checkpoint save failed after {self.retries} retries")
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -64,6 +89,7 @@ class CheckpointManager:
         return restored
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -98,7 +98,10 @@ class GenericTrainer:
             steps_per_call=self.steps_per_call,
         )
         out_dir = cfg.get("output_dir", "/tmp/xpt_output")
-        self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)
+        self.ckpt = CheckpointManager(
+            f"{out_dir}/ckpt", max_to_keep=2,
+            async_save=bool(cfg.get("async_checkpoint", False)),
+        )
         self.best = BestModelSaver(out_dir)
         self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
         self.meter = RunningMeter("train_loss")
@@ -157,4 +160,5 @@ class GenericTrainer:
             profile_num_steps=int(cfg.get("profile_steps", 0)),
         )
         self.writer.flush()
+        self.ckpt.wait()  # drain any in-flight async checkpoint
         return state

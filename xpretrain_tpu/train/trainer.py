@@ -163,7 +163,10 @@ class ClipVipTrainer:
 
         # ---- io ----
         out_dir = cfg.get("output_dir", "/tmp/xpt_output")
-        self.ckpt = CheckpointManager(f"{out_dir}/ckpt", max_to_keep=2)
+        self.ckpt = CheckpointManager(
+            f"{out_dir}/ckpt", max_to_keep=2,
+            async_save=bool(cfg.get("async_checkpoint", False)),
+        )
         self.best = BestModelSaver(out_dir)
         self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
         self.meter = RunningMeter("train_loss")
@@ -264,4 +267,5 @@ class ClipVipTrainer:
             profile_num_steps=int(self.cfg.get("profile_steps", 0)),
         )
         self.writer.flush()
+        self.ckpt.wait()  # drain any in-flight async checkpoint
         return state
