@@ -76,3 +76,22 @@ def test_mask_semantics_patch_isolation(qkv):
     )
     # but the proxies (which see everything) must move
     assert np.abs(np.asarray(out1[:, :, :M]) - np.asarray(out2[:, :, :M])).max() > 1e-3
+
+
+def test_head_group_respects_vmem_stack_cap():
+    """B/16's S=2356 blew the 16 MiB scoped-VMEM stack at HG=6 (compile-time
+    failure, past the Python fallback). The picker must cap HG by the
+    empirical ~32·HG·S·D-byte stack model while keeping B/32 at full HG."""
+    from xpretrain_tpu.ops.proxy_attention import (
+        _STACK_BYTES_PER_ELEM,
+        _STACK_LIMIT_BYTES,
+        _head_group,
+    )
+
+    hg_b32 = _head_group(12, 4 + 12 * 49, 64, n_bufs=4)
+    assert hg_b32 == 12  # unchanged: full head batching at B/32
+    hg_b16 = _head_group(12, 4 + 12 * 196, 64, n_bufs=4)
+    assert hg_b16 <= 3
+    assert _STACK_BYTES_PER_ELEM * hg_b16 * (4 + 12 * 196) * 64 <= _STACK_LIMIT_BYTES
+    # bwd picker also bounded
+    assert _head_group(12, 4 + 12 * 196, 64, n_bufs=16) >= 1

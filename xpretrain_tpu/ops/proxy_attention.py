@@ -64,10 +64,25 @@ def _attention_xla(q: Array, k: Array, v: Array, M: int, L: int, scale: float) -
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+# Empirical Mosaic scoped-stack model for this kernel: ~32 bytes per
+# HG·S·D element (calibrated from compiler OOM reports: B/16 S=2356 HG=6
+# reported 27.66 MiB ≈ 32·6·2356·64; the shipping B/32 S=592 HG=12 sits at
+# 14.5 MiB, just under the 16 MiB hard limit). Cap with margin.
+_STACK_BYTES_PER_ELEM = 32
+_STACK_LIMIT_BYTES = 14 * 1024 * 1024
+
+
 def _head_group(H: int, S: int, D: int, n_bufs: int) -> int:
-    """Largest divisor of H whose n_bufs [HG, S, D] bf16 buffers fit VMEM."""
+    """Largest divisor of H whose buffers AND scoped stack fit VMEM.
+
+    Two constraints: n_bufs [HG, S, D] bf16 io buffers within the budget,
+    and the kernel's fp32 temporaries (softmax/concat stack) within the
+    16 MiB scoped-vmem hard limit per the empirical model above. The stack
+    constraint is what caps HG at long S (e.g. B/16's S=2356 → HG=3).
+    """
     per_head = n_bufs * S * D * 2
     hg = max(1, _VMEM_BUDGET_BYTES // per_head)
+    hg = min(hg, max(1, _STACK_LIMIT_BYTES // (_STACK_BYTES_PER_ELEM * S * D)))
     while H % hg:
         hg -= 1
     return hg
