@@ -26,6 +26,15 @@ def test_stack_batches_schema_mismatch_raises():
         stack_batches([np.zeros((4, 2)), np.zeros((4, 2))])
 
 
+def test_stack_batches_scalar_leaf_raises():
+    """A 0-d leaf would stack to rank-1 and then fail obscurely inside jit
+    when P(None, 'data') meets it; stack_batches must fail at the cause."""
+    with pytest.raises(ValueError, match="rank >= 1"):
+        stack_batches([{"x": np.zeros((4, 2)), "n": np.float32(1.0)}] * 2)
+    with pytest.raises(ValueError, match="rank >= 1"):
+        stack_batches([{"x": np.zeros((4, 2)), "n": 3}] * 2)  # plain python int
+
+
 def test_log_density_preserved_when_chunk_exceeds_log_every():
     """steps_per_call=4 with log_every=2 must still log every 2 steps, each
     from its own sub-step metrics row."""
@@ -124,3 +133,63 @@ def test_async_checkpoint_roundtrip(tmp_path):
     restored = mgr.restore({"w": np.zeros(8, np.float32), "step": np.asarray(0, np.int32)})
     np.testing.assert_array_equal(restored["w"], state["w"] * 2)
     mgr.close()
+
+
+def _opt_state_for(fused: bool):
+    from xpretrain_tpu.optim import build_optimizer
+    from xpretrain_tpu.parallel.train_step import TrainState
+
+    params = {"dense": {"kernel": np.ones((8, 8), np.float32), "bias": np.zeros((8,), np.float32)}}
+    tx, _ = build_optimizer(params, lambda s: 1e-3, weight_decay=0.1, fused=fused)
+    return jax.tree_util.tree_map(np.asarray, TrainState.create(params, tx))
+
+
+@pytest.mark.parametrize("saved_fused", [False, True])
+def test_checkpoint_optimizer_layout_detection(tmp_path, saved_fused):
+    """Resuming a checkpoint written with the other --fused_adamw layout must
+    be detected (advisor r2, medium): saved_uses_fused_layout reports the
+    saved layout, and a mismatched restore raises an error naming the flag."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, _opt_state_for(fused=saved_fused), force=True)
+    assert mgr.saved_uses_fused_layout() is saved_fused
+
+    # matched template restores fine
+    ok = mgr.restore(_opt_state_for(fused=saved_fused))
+    assert ok is not None and int(ok.step) == 0
+
+    # mismatched template: targeted error naming the escape hatch
+    with pytest.raises(RuntimeError, match=f"--fused_adamw {int(saved_fused)}"):
+        mgr.restore(_opt_state_for(fused=not saved_fused))
+
+
+def test_generic_trainer_adapts_fused_layout_on_resume(tmp_path):
+    """GenericTrainer must follow the checkpoint's optimizer-state layout
+    instead of failing when the configured --fused_adamw differs."""
+    from xpretrain_tpu.config import ConfigDict
+    from xpretrain_tpu.train.generic_trainer import GenericTrainer
+
+    params = {"w": np.ones((4,), np.float32)}
+
+    def apply_fn(p, batch, rng):
+        return {"loss": jnp.mean(jnp.square(p["w"] - batch["x"].mean()))}
+
+    def loader():
+        while True:
+            yield {"x": np.full((8, 2), 2.0, np.float32)}
+
+    base = dict(
+        num_train_steps=2, learning_rate=1e-2, decay="constant", warmup_ratio=0.0,
+        output_dir=str(tmp_path), log_steps=10, valid_steps=100, save_steps=1,
+        seed=0, zero2=False,
+    )
+    t1 = GenericTrainer(ConfigDict(fused_adamw=False, **base), apply_fn, params, loader())
+    t1.train()  # saves a multi_transform-layout checkpoint at steps 1, 2
+
+    # resume with the (new) fused default: must auto-adopt the legacy layout
+    cfg2 = ConfigDict(fused_adamw=True, num_train_steps=3, **{
+        k: v for k, v in base.items() if k != "num_train_steps"})
+    t2 = GenericTrainer(cfg2, apply_fn, params, loader())
+    state = t2.train()
+    assert int(state.step) == 3

@@ -64,7 +64,11 @@ def tp_pspec(path: str, shape: tuple[int, ...], mp: int) -> P:
             spec[dim] = MODEL_AXIS
             return P(*spec)
         return P()
-    if _ROW.search(path) is not None and len(shape) >= 2:
+    # Row rule restricted to 2-D dense kernels: '/proj/kernel' would otherwise
+    # also match PatchEmbed3D's Conv3D named 'proj' (swin3d.py), row-sharding
+    # the conv's temporal window dim — harmless under SPMD but an unintended
+    # layout that forces communication on the patch embed (advisor r2).
+    if _ROW.search(path) is not None and len(shape) == 2:
         if shape[0] % mp == 0 and shape[0] >= mp:
             spec = [None] * len(shape)
             spec[0] = MODEL_AXIS

@@ -43,6 +43,7 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.retries = retries
         self.async_save = async_save
+        self._last_async: tuple[int, Any] | None = None
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
@@ -53,17 +54,23 @@ class CheckpointManager:
 
         Sync mode (default): blocks until durable, with the reference's
         bounded retry (``load_save.py:47-63``). Async mode: waits for the
-        *previous* async write (surfacing its error as a warning — the next
-        periodic save is the retry), then dispatches this one and returns
-        while orbax persists in the background; ``close()`` drains.
+        *previous* async write (a failure is only a warning — this newer
+        save supersedes it as the resume point), then dispatches this one
+        and returns while orbax persists in the background; ``wait()`` /
+        ``close()`` drain, retrying the last dispatched save synchronously
+        if the in-flight write failed (same bounded retry as sync mode).
         """
         if self.async_save:
             try:
                 self._mgr.wait_until_finished()
-            except Exception as e:  # noqa: BLE001 - prior write failed
+            except Exception as e:  # noqa: BLE001 - prior write superseded by this one
                 LOGGER.warning("previous async checkpoint failed: %s", e)
             self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+            self._last_async = (step, state)
             return
+        self._save_with_retry(step, state, force)
+
+    def _save_with_retry(self, step: int, state: Any, force: bool = False) -> None:
         for attempt in range(self.retries):
             try:
                 self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
@@ -75,21 +82,79 @@ class CheckpointManager:
         raise RuntimeError(f"checkpoint save failed after {self.retries} retries")
 
     def wait(self) -> None:
-        self._mgr.wait_until_finished()
+        """Drain in-flight writes; retry the last async save if it failed."""
+        try:
+            self._mgr.wait_until_finished()
+        except Exception as e:  # noqa: BLE001
+            if self._last_async is None:
+                raise
+            LOGGER.warning("in-flight async checkpoint failed (%s); retrying synchronously", e)
+            step, state = self._last_async
+            self._save_with_retry(step, state, force=True)
+        self._last_async = None
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
+
+    def saved_uses_fused_layout(self, step: int | None = None) -> bool | None:
+        """Detect the optimizer-state layout of the saved checkpoint.
+
+        Returns True if the latest (or given) step was written with the flat
+        ``fused_grouped_adamw`` state (``ScaleByAdamState``), False if with
+        the legacy optax ``multi_transform`` composition (whose state tree
+        contains an ``inner_states`` mapping), None when there is no
+        checkpoint or the layout cannot be determined. Lets trainers resume
+        checkpoints written before ``--fused_adamw`` defaulted to 1 without
+        the operator having to know the flag (advisor r2, medium).
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        # Read the saved tree structure from orbax's on-disk _METADATA json
+        # (item_metadata() returns None until a restore handler is
+        # registered, so it cannot be used before the first restore).
+        meta = ""
+        for name in ("default", "state"):
+            path = os.path.join(self.directory, str(step), name, "_METADATA")
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        meta = f.read()
+                except OSError:
+                    pass
+                break
+        if not meta:
+            try:
+                meta = str(self._mgr.item_metadata(step))
+            except Exception:  # noqa: BLE001 - older layouts/partial writes
+                return None
+        if "opt_state" not in meta:
+            return None  # params-only checkpoint (e.g. BestModelSaver)
+        # multi_transform state carries an 'inner_states' mapping; the flat
+        # fused ScaleByAdamState does not (even under MultiSteps wrapping).
+        return "inner_states" not in meta
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        try:
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        except Exception as e:
+            saved_fused = self.saved_uses_fused_layout(step)
+            if saved_fused is not None:
+                raise RuntimeError(
+                    f"checkpoint at step {step} in {self.directory} was written with "
+                    f"{'--fused_adamw 1 (flat ScaleByAdamState)' if saved_fused else '--fused_adamw 0 (optax multi_transform)'} "
+                    f"optimizer-state layout, which does not match this run's optimizer. "
+                    f"Pass --fused_adamw {int(saved_fused)} to resume it."
+                ) from e
+            raise
         LOGGER.info("restored checkpoint at step %d from %s", step, self.directory)
         return restored
 
     def close(self) -> None:
-        self._mgr.wait_until_finished()
+        self.wait()
         self._mgr.close()
 
 

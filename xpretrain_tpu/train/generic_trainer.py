@@ -52,6 +52,26 @@ class GenericTrainer:
         self.eval_fn = eval_fn
         self.init_params = jax.tree_util.tree_map(np.asarray, init_params)
 
+        # io first, so resume can adapt the optimizer-state layout to what
+        # the checkpoint was written with (see ClipVipTrainer)
+        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
+        self.ckpt = CheckpointManager(
+            f"{out_dir}/ckpt", max_to_keep=2,
+            async_save=bool(cfg.get("async_checkpoint", False)),
+        )
+        self.best = BestModelSaver(out_dir)
+        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
+        self.meter = RunningMeter("train_loss")
+
+        fused = bool(cfg.get("fused_adamw", True))
+        saved_fused = self.ckpt.saved_uses_fused_layout()
+        if saved_fused is not None and saved_fused != fused:
+            LOGGER.warning(
+                "checkpoint in %s/ckpt uses fused_adamw=%d optimizer-state layout; "
+                "overriding configured fused_adamw=%d to resume it",
+                out_dir, int(saved_fused), int(fused),
+            )
+            fused = saved_fused
         num_steps = int(cfg.get("num_train_steps", 1000))
         schedule = get_schedule(
             cfg.get("decay", "cosine"),
@@ -73,7 +93,7 @@ class GenericTrainer:
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
             frozen_patterns=tuple(cfg.get("frozen_patterns", ())),
             **kwargs,
-            fused=bool(cfg.get("fused_adamw", True)),
+            fused=fused,
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
         tp = int(cfg.get("tp", 1) or 1)
@@ -97,15 +117,6 @@ class GenericTrainer:
             param_shardings=self.param_shardings,
             steps_per_call=self.steps_per_call,
         )
-        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
-        self.ckpt = CheckpointManager(
-            f"{out_dir}/ckpt", max_to_keep=2,
-            async_save=bool(cfg.get("async_checkpoint", False)),
-        )
-        self.best = BestModelSaver(out_dir)
-        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
-        self.meter = RunningMeter("train_loss")
-
     def train(self) -> TrainState:
         # ambient mesh so model-internal P-based sharding constraints
         # (e.g. Swin3D context_parallel_axis) resolve during the step trace

@@ -48,6 +48,18 @@ def stack_batches(batches: list) -> dict:
             "mixes batch schemas — use steps_per_call=1 for multi-task training. "
             f"Got schemas: {sorted(schemas)}"
         )
+    scalar_keys = [
+        k for k, shape, _ in next(iter(schemas)) if shape is not None and len(shape) == 0
+    ] + [k for k, shape, _ in next(iter(schemas)) if shape is None]
+    if scalar_keys:
+        # A 0-d leaf stacks to rank-1, slips past shard_host_batch's
+        # min_ndim=2 filter, and then fails deep inside jit when
+        # P(None, 'data') meets a rank-1 array. Fail here, at the cause.
+        raise ValueError(
+            "steps_per_call > 1 requires every batch leaf to be an array of "
+            f"rank >= 1; got scalar/non-array leaves for keys {scalar_keys}. "
+            "Reshape scalars to shape (1,) or use steps_per_call=1."
+        )
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 

@@ -107,7 +107,31 @@ class ClipVipTrainer:
         self.init_params = jax.tree_util.tree_map(np.asarray, init_params)
         init_params = self.init_params
 
+        # ---- io (created before the optimizer so resume can adapt the
+        # optimizer-state layout to what the checkpoint was written with) ----
+        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
+        self.ckpt = CheckpointManager(
+            f"{out_dir}/ckpt", max_to_keep=2,
+            async_save=bool(cfg.get("async_checkpoint", False)),
+        )
+        self.best = BestModelSaver(out_dir)
+        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
+        self.meter = RunningMeter("train_loss")
+
         # ---- optimizer ----
+        fused = bool(cfg.get("fused_adamw", True))
+        saved_fused = self.ckpt.saved_uses_fused_layout()
+        if saved_fused is not None and saved_fused != fused:
+            # Checkpoints written before --fused_adamw defaulted to 1 carry
+            # the optax multi_transform state tree; restoring it into the
+            # flat fused layout fails deep inside orbax. Follow the saved
+            # layout instead of requiring the operator to know the flag.
+            LOGGER.warning(
+                "checkpoint in %s/ckpt uses fused_adamw=%d optimizer-state layout; "
+                "overriding configured fused_adamw=%d to resume it",
+                out_dir, int(saved_fused), int(fused),
+            )
+            fused = saved_fused
         num_steps = int(cfg.get("num_train_steps", 1000))
         schedule = get_schedule(
             cfg.get("decay", "cosine"),
@@ -131,7 +155,7 @@ class ClipVipTrainer:
             max_grad_norm=float(cfg.get("grad_norm", 2.0)),
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
             frozen_patterns=tuple(frozen),
-            fused=bool(cfg.get("fused_adamw", True)),
+            fused=fused,
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
@@ -160,16 +184,6 @@ class ClipVipTrainer:
         self.eval_step = make_eval_step(
             self._apply_eval, self.mesh, param_shardings=self.param_shardings
         )
-
-        # ---- io ----
-        out_dir = cfg.get("output_dir", "/tmp/xpt_output")
-        self.ckpt = CheckpointManager(
-            f"{out_dir}/ckpt", max_to_keep=2,
-            async_save=bool(cfg.get("async_checkpoint", False)),
-        )
-        self.best = BestModelSaver(out_dir)
-        self.writer = ScalarWriter(f"{out_dir}/log", jax.process_index())
-        self.meter = RunningMeter("train_loss")
 
     # ---- model plumbing -------------------------------------------------
 
