@@ -80,6 +80,9 @@ def test_tp_pspec_rules():
     # non-matching leaves replicated
     assert tp_pspec("/a/layer_norm1/scale", (64,), 4) == P()
     assert tp_pspec("/embeddings/patch_embedding/kernel", (16, 16, 3, 64), 4) == P()
+    # PatchEmbed3D's Conv3D is also named 'proj' (swin3d.py); the row rule
+    # must not shard its 5-D kernel's temporal dim (advisor r2)
+    assert tp_pspec("/patch_embed/proj/kernel", (2, 8, 8, 3, 96), 2) == P()
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])

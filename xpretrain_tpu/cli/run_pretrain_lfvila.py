@@ -25,6 +25,7 @@ from xpretrain_tpu.models.bert import BertConfig
 from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
 from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig
 from xpretrain_tpu.optim import NO_DECAY_LFVILA
+from xpretrain_tpu.parallel.mesh import MODEL_AXIS
 from xpretrain_tpu.train.checkpoints import save_training_meta
 from xpretrain_tpu.train.generic_trainer import GenericTrainer
 from xpretrain_tpu.utils.basic import load_jsonl
@@ -33,7 +34,12 @@ from xpretrain_tpu.utils.logging import setup_logging
 
 def lfvila_config_from(cfg) -> LfVilaConfig:
     ve = cfg.get("video_encoder", {})
+    # --cp N: shard the HTWA temporal axis over the mesh's model axis
+    # (mesh_from_config builds the 2-D mesh; GenericTrainer traces the step
+    # under the ambient mesh so the constraint resolves)
+    cp = int(cfg.get("cp", 1) or 1)
     video = Swin3DConfig(
+        context_parallel_axis=MODEL_AXIS if cp > 1 else None,
         patch_size=tuple(ve.get("patch_size", (1, 8, 8))),
         embed_dim=int(ve.get("embed_dim", 128)),
         depths=tuple(ve.get("depths", (2, 2, 14, 2, 2, 2))),

@@ -76,6 +76,12 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
         help="tensor-parallel degree: >1 builds a (data, model) mesh with "
         "Megatron-layout param sharding (parallel/tensor_parallel.py)",
     )
+    p.add_argument(
+        "--cp", type=int, default=1,
+        help="context-parallel degree (LF-VILA): >1 shards the Swin3D/HTWA "
+        "temporal axis over the mesh's model axis; shares that axis with "
+        "--tp (if both are given they must be equal)",
+    )
 
     # cadence
     p.add_argument("--log_steps", type=int, default=20)

@@ -361,11 +361,32 @@ class SwinTransformer3D(nn.Module):
     ) -> tuple[Array, Array] | Array:
         cfg = self.config
         if cfg.context_parallel_axis:
-            from jax.sharding import PartitionSpec
+            from jax.sharding import PartitionSpec, get_abstract_mesh
 
-            # activations are [B, D(time), H, W, C]; shard time over the axis
+            # activations are [B, D(time), H, W, C]; shard time over the axis.
+            # Outside any mesh context (e.g. model.init before the trainer's
+            # `with mesh:` step trace) a P-based constraint cannot resolve —
+            # degrade to identity there; params are layout-independent. The
+            # ambient mesh is visible either abstractly (jax.set_mesh) or as
+            # the thread-resource physical mesh (plain `with mesh:`).
             cp_spec = PartitionSpec(None, cfg.context_parallel_axis)
-            cp = lambda t: jax.lax.with_sharding_constraint(t, cp_spec)
+
+            def _mesh_has_axis() -> bool:
+                am = get_abstract_mesh()
+                if am is not None and cfg.context_parallel_axis in getattr(am, "shape", {}):
+                    return True
+                try:
+                    from jax._src import mesh as _mesh_lib
+
+                    pm = _mesh_lib.thread_resources.env.physical_mesh
+                    return (not pm.empty) and cfg.context_parallel_axis in pm.shape
+                except Exception:  # pragma: no cover - private-API drift
+                    return False
+
+            def cp(t):
+                if not _mesh_has_axis():
+                    return t
+                return jax.lax.with_sharding_constraint(t, cp_spec)
         else:
             cp = lambda t: t
         x = PatchEmbed3D(

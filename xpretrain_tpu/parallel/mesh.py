@@ -79,18 +79,27 @@ def create_mesh(
 
 
 def mesh_from_config(cfg) -> Mesh:
-    """1-D data mesh, or a 2-D ``(data, model)`` mesh when ``cfg['tp'] > 1``.
+    """1-D data mesh, or a 2-D ``(data, model)`` mesh when ``tp``/``cp`` > 1.
 
     ``tp`` is the tensor-parallel degree (see
-    :mod:`xpretrain_tpu.parallel.tensor_parallel` for the param layout).
+    :mod:`xpretrain_tpu.parallel.tensor_parallel` for the param layout);
+    ``cp`` the context-parallel degree (Swin3D temporal-axis sharding,
+    ``models/lf_vila/swin3d.py`` ``context_parallel_axis``). Both map onto
+    the same ``model`` mesh axis, so when both exceed 1 they must agree.
     """
     tp = int(cfg.get("tp", 1) or 1)
-    if tp <= 1:
+    cp = int(cfg.get("cp", 1) or 1)
+    if tp > 1 and cp > 1 and tp != cp:
+        raise ValueError(
+            f"tp={tp} and cp={cp} share the mesh's model axis; set them equal"
+        )
+    mp = max(tp, cp)
+    if mp <= 1:
         return create_mesh()
     n = len(jax.devices())
-    if n % tp:
-        raise ValueError(f"tp={tp} does not divide the {n} available devices")
-    return create_mesh((n // tp, tp), (DATA_AXIS, MODEL_AXIS))
+    if n % mp:
+        raise ValueError(f"tp/cp={mp} does not divide the {n} available devices")
+    return create_mesh((n // mp, mp), (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
