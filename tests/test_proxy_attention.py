@@ -95,3 +95,9 @@ def test_head_group_respects_vmem_stack_cap():
     assert _STACK_BYTES_PER_ELEM * hg_b16 * (4 + 12 * 196) * 64 <= _STACK_LIMIT_BYTES
     # bwd picker also bounded
     assert _head_group(12, 4 + 12 * 196, 64, n_bufs=16) >= 1
+    # regression pin: the exact shipped values for the three reference
+    # variants (B/32 S=592, B/16 S=2356, L/14 S=3076) — a budget-constant
+    # edit that silently re-breaks B/16/L/14 compile must fail here
+    assert _head_group(12, 592, 64, n_bufs=4) == 12
+    assert _head_group(12, 2356, 64, n_bufs=4) == 3
+    assert _head_group(16, 3076, 64, n_bufs=4) == 2

@@ -79,3 +79,51 @@ def test_ingest_benchmark_pipeline():
     )
     assert row["frames_per_s"] > 0 and row["decoded_MB_per_s"] > 0
     assert row["batch_shape"] == [4, 4, 32, 32, 3]
+
+
+def test_h264_transcode_roundtrip(test_video, tmp_path):
+    """H.264 encode (native transcoder → system libx264) + decode round
+    trip: the HD-VILA-100M corpus codec (hd-vila-100m/README.md:15), which
+    cv2's bundled ffmpeg cannot encode in this image — the system
+    libavcodec the native lib links can."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.compress_videos import transcode
+
+    path, n, (h, w) = test_video
+    out = str(tmp_path / "clip_h264.mp4")
+    assert transcode(path, out, fps=10.0, height=0, codec="libx264"), \
+        "libx264 encode failed (system libavcodec missing x264?)"
+    info = video_reader.probe(out)
+    assert info.num_frames >= n - 2  # container may drop trailing frames
+    frames = video_reader.read_frames(out, np.array([0, 5, 20]))
+    assert frames.shape == (3, h, w, 3)
+    # frame 20's blue channel encodes ~80 (lossy: wide tolerance)
+    assert abs(int(frames[2, :, :, 2].mean()) - 80) < 25
+
+
+def test_ingest_benchmark_h264_and_process_mode():
+    """The ingest bench's H.264 row and worker-process mode both run."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_ingest",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_ingest.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    # register under the module name so ProcessPoolExecutor can pickle the
+    # worker function by reference (tools/ is not a package on sys.path)
+    sys.modules["bench_ingest"] = mod
+    spec.loader.exec_module(mod)
+    row = mod.run_benchmark(
+        workers=2, clips=4, num_frm=4, crop=32, src_hw=(48, 64),
+        src_frames=20, n_videos=2, codec="h264",
+    )
+    assert row["codec"] == "h264" and row["frames_per_s"] > 0
+    row = mod.run_benchmark(
+        workers=2, clips=4, num_frm=4, crop=32, src_hw=(48, 64),
+        src_frames=20, n_videos=2, mode="process",
+    )
+    assert row["mode"] == "process" and row["frames_per_s"] > 0

@@ -24,14 +24,25 @@ import os
 import sys
 import tempfile
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
 
-def synthesize_videos(root: str, n_videos: int, frames: int, hw: tuple[int, int]) -> list[str]:
+def synthesize_videos(
+    root: str, n_videos: int, frames: int, hw: tuple[int, int], codec: str = "mjpg"
+) -> list[str]:
+    """Write benchmark source videos.
+
+    ``mjpg``: cv2 MJPG (intra-only, the easiest decode). ``h264``/``mpeg4``:
+    the MJPG source is re-encoded through the native libav transcoder
+    (``native/transcoder.cpp`` → system libx264/mpeg4) — cv2's bundled
+    ffmpeg has no H.264 encoder in this image, the system libavcodec does.
+    HD-VILA-100M is 720p H.264 (``hd-vila-100m/README.md:15``), so the h264
+    row is the corpus-representative decode cost.
+    """
     import cv2
 
     paths = []
@@ -46,7 +57,31 @@ def synthesize_videos(root: str, n_videos: int, frames: int, hw: tuple[int, int]
             writer.write(np.roll(base, i * 3, axis=1))
         writer.release()
         paths.append(path)
+    if codec != "mjpg":
+        from tools.compress_videos import transcode
+
+        enc = {"h264": "libx264", "mpeg4": "mpeg4"}[codec]
+        out_paths = []
+        for p in paths:
+            out = p.replace(".avi", f"_{codec}.mp4")
+            assert transcode(p, out, fps=30.0, height=0, codec=enc), f"{enc} encode failed"
+            out_paths.append(out)
+        paths = out_paths
     return paths
+
+
+def _load_clip_task(args):
+    """Module-level worker (picklable for ProcessPoolExecutor)."""
+    path, i, num_frm, crop = args
+    from xpretrain_tpu.data import video_reader
+    from xpretrain_tpu.data.sample_frames import uniform_sample_with_jitter
+    from xpretrain_tpu.data.transforms import center_crop
+
+    info = video_reader.probe(path)
+    rng = np.random.default_rng(i)
+    idx = uniform_sample_with_jitter(info.num_frames, num_frm, rng)
+    frames = video_reader.read_frames(path, idx, out_hw=(crop, crop * 4 // 3))
+    return center_crop(frames, (crop, crop))
 
 
 def run_benchmark(
@@ -57,29 +92,23 @@ def run_benchmark(
     src_hw: tuple[int, int] = (256, 320),
     src_frames: int = 120,
     n_videos: int = 8,
+    codec: str = "mjpg",
+    mode: str = "thread",
 ) -> dict:
-    from xpretrain_tpu.data import video_reader
-    from xpretrain_tpu.data.sample_frames import uniform_sample_with_jitter
-    from xpretrain_tpu.data.transforms import center_crop
-
+    """One ingest row. ``mode='thread'`` shares the process (ctypes decode
+    releases the GIL); ``mode='process'`` is the torch-DataLoader-style
+    worker-process variant (fork + pickle per clip)."""
     with tempfile.TemporaryDirectory() as root:
-        paths = synthesize_videos(root, n_videos, src_frames, src_hw)
-
-        def load_clip(i: int) -> np.ndarray:
-            path = paths[i % len(paths)]
-            info = video_reader.probe(path)
-            rng = np.random.default_rng(i)
-            idx = uniform_sample_with_jitter(info.num_frames, num_frm, rng)
-            # native decode with in-reader resize to the model's short side
-            frames = video_reader.read_frames(path, idx, out_hw=(crop, crop * 4 // 3))
-            return center_crop(frames, (crop, crop))
+        paths = synthesize_videos(root, n_videos, src_frames, src_hw, codec=codec)
+        tasks = [(paths[i % len(paths)], i, num_frm, crop) for i in range(clips)]
 
         # warm (file cache + lib init)
-        load_clip(0)
+        _load_clip_task(tasks[0])
 
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(load_clip, range(clips)))
+        pool_cls = ProcessPoolExecutor if mode == "process" else ThreadPoolExecutor
+        with pool_cls(max_workers=workers) as pool:
+            results = list(pool.map(_load_clip_task, tasks))
         batch = np.stack(results)  # collate [clips, F, H, W, 3] u8
         wall = time.perf_counter() - t0
 
@@ -87,6 +116,8 @@ def run_benchmark(
     mb = batch.nbytes / 1e6
     return {
         "metric": "ingest_pipeline",
+        "codec": codec,
+        "mode": mode,
         "workers": workers,
         "clips": clips,
         "frames_per_s": round(total_frames / wall, 1),
@@ -104,18 +135,37 @@ def main():
     ap.add_argument("--clips", type=int, default=64)
     ap.add_argument("--num_frm", type=int, default=12)
     ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--codec", default="mjpg", choices=["mjpg", "h264", "mpeg4"])
+    ap.add_argument("--mode", default="thread", choices=["thread", "process"])
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full codec x mode matrix and print all rows")
     ap.add_argument("--append_perf", default="")
     args = ap.parse_args()
-    row = run_benchmark(args.workers, args.clips, args.num_frm, args.size)
-    print(json.dumps(row))
-    if args.append_perf:
+    if args.matrix:
+        rows = []
+        for codec in ("mjpg", "h264"):
+            for mode in ("thread", "process"):
+                try:
+                    rows.append(run_benchmark(
+                        args.workers, args.clips, args.num_frm, args.size,
+                        codec=codec, mode=mode))
+                    print(json.dumps(rows[-1]), flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{codec}/{mode} failed: {e}", flush=True)
+    else:
+        rows = [run_benchmark(args.workers, args.clips, args.num_frm, args.size,
+                              codec=args.codec, mode=args.mode)]
+        print(json.dumps(rows[0]))
+    if args.append_perf and rows:
         with open(args.append_perf, "a") as f:
             f.write(
-                f"\n## Ingest pipeline (decode pool, {row['host_cpus']}-cpu host)\n\n"
-                f"| workers | clips | frames/s | decoded MB/s |\n|---|---|---|---|\n"
-                f"| {row['workers']} | {row['clips']} | {row['frames_per_s']} "
-                f"| {row['decoded_MB_per_s']} |\n"
-            )
+                f"\n## Ingest pipeline (decode pool, {rows[0]['host_cpus']}-cpu host)\n\n"
+                f"| codec | mode | workers | clips | frames/s | decoded MB/s |\n"
+                f"|---|---|---|---|---|---|\n")
+            for row in rows:
+                f.write(
+                    f"| {row['codec']} | {row['mode']} | {row['workers']} | {row['clips']} "
+                    f"| {row['frames_per_s']} | {row['decoded_MB_per_s']} |\n")
 
 
 if __name__ == "__main__":

@@ -27,27 +27,39 @@ import numpy as np  # noqa: E402
 
 
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (per chip)
+V5E_HBM_BPS = 819e9  # TPU v5e HBM bandwidth ceiling (bytes/s)
 
 
-def flops_of(jitted, *args) -> float:
-    """Analytic FLOPs of an already-jitted callable on example args."""
+def cost_of(jitted, *args) -> tuple[float, float]:
+    """(analytic FLOPs, bytes accessed) of a jitted callable on example args."""
     try:
         analysis = jitted.lower(*args).compile().cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
-        return float(analysis.get("flops", 0.0))
+        return float(analysis.get("flops", 0.0)), float(analysis.get("bytes accessed", 0.0))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
-def with_mfu(row, flops, t):
+def flops_of(jitted, *args) -> float:
+    return cost_of(jitted, *args)[0]
+
+
+def with_mfu(row, flops, t, bytes_accessed=0.0):
     row["tflops"] = round(flops / 1e12, 1)
     row["mfu_pct"] = round(100.0 * flops / max(t, 1e-9) / V5E_PEAK_BF16, 1)
+    if bytes_accessed:
+        # achieved HBM bandwidth against the 819 GB/s v5e ceiling — the
+        # second roofline axis; a kernel under BOTH ceilings has scheduling
+        # headroom, one near either is roofline-bound (PERF.md HTWA case)
+        gbps = bytes_accessed / max(t, 1e-9) / 1e9
+        row["hbm_gbps"] = round(gbps, 1)
+        row["hbm_pct"] = round(100.0 * gbps * 1e9 / V5E_HBM_BPS, 1)
     return row
 
 
 def scan_timed(body, args, K, warmup=1, iters=5):
-    """Median per-step time + per-step FLOPs of ``body(carry, *args)``
+    """Median per-step time + per-step FLOPs/bytes of ``body(carry, *args)``
     chained K times inside one jit. ``body`` must return a f32 scalar carry
     derived from its output (data dependence defeats loop hoisting)."""
     import jax
@@ -71,7 +83,8 @@ def scan_timed(body, args, K, warmup=1, iters=5):
     t = sorted(ts)[len(ts) // 2] / K
     # XLA cost_analysis counts the while-loop body ONCE (verified against
     # the analytic per-step FLOPs of the unrolled forward), so no /K here.
-    return t, flops_of(run_k, jnp.float32(0), *args)
+    flops, nbytes = cost_of(run_k, jnp.float32(0), *args)
+    return t, flops, nbytes
 
 
 def bench_clipvip(quick=False):
@@ -100,10 +113,10 @@ def bench_clipvip(quick=False):
         out = model.apply(params, v, ids, mask)
         return out["vis_features"][0, 0].astype(jnp.float32)
 
-    t, flops = scan_timed(body, (params, video, ids, mask), K=10 if not quick else 3)
+    t, flops, nbytes = scan_timed(body, (params, video, ids, mask), K=10 if not quick else 3)
     return with_mfu(
         {"model": "CLIP-ViP B/32 (12f 224², u8 ingest, serving batch)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
 def bench_lfvila(quick=False):
@@ -123,10 +136,10 @@ def bench_lfvila(quick=False):
         out = model.apply(params, v)[0]
         return jnp.ravel(out)[0].astype(jnp.float32)
 
-    t, flops = scan_timed(body, (params, video), K=5 if quick else 10)
+    t, flops, nbytes = scan_timed(body, (params, video), K=5 if quick else 10)
     return with_mfu(
         {"model": "LF-VILA Swin3D/HTWA (32f 192×320)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
 def bench_hdvila(quick=False):
@@ -147,10 +160,10 @@ def bench_hdvila(quick=False):
         out = model.apply(params, m, other)
         return jnp.ravel(out)[0].astype(jnp.float32)
 
-    t, flops = scan_timed(body, (params, middle, other), K=5 if quick else 10)
+    t, flops, nbytes = scan_timed(body, (params, middle, other), K=5 if quick else 10)
     return with_mfu(
         {"model": "HD-VILA hybrid encoder (2×7f, 640×1024 middle)", "batch": b * clips,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}, flops, t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}, flops, t, nbytes)
 
 
 def bench_clipvip_train(quick=False):
@@ -221,6 +234,172 @@ def bench_clipvip_train(quick=False):
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
 
 
+def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
+    """Scan-chain K full train steps (fwd+bwd+optimizer) carrying
+    (params, opt_state); returns (per-step t, flops, bytes)."""
+    import jax
+    import optax
+
+    @jax.jit
+    def run_k(params, opt_state, *args):
+        def step(carry, _):
+            p, o = carry
+            loss, g = jax.value_and_grad(lambda pp: model_apply_loss(pp, *args))(p)
+            u, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), o), loss
+
+        (_, _), losses = jax.lax.scan(step, (params, opt_state), None, length=K)
+        return losses[-1]
+
+    args = (params, tx.init(params)) + tuple(batch_args)
+    float(run_k(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(run_k(*args))
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[len(ts) // 2] / K
+    flops, nbytes = cost_of(run_k, *args)
+    return t, flops, nbytes
+
+
+def bench_lfvila_train(quick=False, batch=None, remat=None):
+    """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
+    + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
+    4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;
+    step driven at ``trainer_pretrain.py:283-284``). Closes BASELINE's
+    roofline target for the family the encoder-only row could not."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
+    from xpretrain_tpu.optim import NO_DECAY_LFVILA, build_optimizer, get_schedule
+
+    b = batch or (4 if quick else 16)  # reference batch/GPU = 16
+    # the reference checkpoints the Swin blocks (video_encoder.py:257-266);
+    # remat=None probes no-remat first and falls back (OOM at this scale)
+    cfg = LfVilaConfig(dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(cfg, video=dataclasses.replace(
+        cfg.video, dtype=jnp.bfloat16, remat=bool(remat)))
+    model = LfVilaPretrain(cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(b, 3, 32, 192, 320)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(2, 30000, size=(b, 4, 50)).astype(np.int32))
+    mask = jnp.ones((b, 4, 50), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1], mtc_rng=jax.random.PRNGKey(1)
+    )["params"]
+    tx, _ = build_optimizer(
+        params, get_schedule("cosine", 5e-5, 100000), weight_decay=0.01,
+        no_decay_patterns=NO_DECAY_LFVILA, max_grad_norm=1.0,
+    )
+
+    def apply_loss(p, video, ids, mask):
+        out = model.apply(
+            {"params": p}, video, ids, mask, mtc_rng=jax.random.PRNGKey(7)
+        )
+        return out["loss"].astype(jnp.float32)
+
+    K = 2 if quick else 4
+    t, flops, nbytes = _train_scan_bench(apply_loss, params, (video, ids, mask), tx, K)
+    tag = " remat" if remat else ""
+    return with_mfu(
+        {"model": f"LF-VILA stage-1 TRAIN step (Swin3D+BERT-L+ITC/MTC{tag})", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+
+
+def bench_hdvila_train(quick=False, batch=None):
+    """FULL HD-VILA stage-1 pretrain step: hybrid 2-ResNet50 + TimeSformer
+    encoder + staged BERT-large + ITC, fwd+bwd+grouped-AdamW, reference
+    recipe 2 clips × 7 frames at 640×1024, batch 8/chip
+    (``hd-vila/src/configs/pretrain_stage1.json:44-49``; loop
+    ``run_pretrain_stage1_group.py:342-423``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.cli.run_pretrain_hdvila import HdVilaPretrainModel
+    from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoderConfig
+    from xpretrain_tpu.models.hd_vila.modeling import HdVilaModelConfig
+    from xpretrain_tpu.optim import build_optimizer, get_schedule
+
+    b = batch or (2 if quick else 8)  # reference batch/GPU = 8
+    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16)
+    model_cfg = HdVilaModelConfig(stage=1, dtype=jnp.bfloat16)
+    model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=0.05)
+    rng = np.random.default_rng(0)
+    middle = jnp.asarray(rng.integers(0, 255, size=(b, 2, 3, 640, 1024)).astype(np.float32))
+    other = jnp.asarray(rng.integers(0, 255, size=(b, 2, 6, 3, 160, 256)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(2, 30000, size=(b, 50)).astype(np.int32))
+    mask = jnp.ones((b, 50), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), middle[:1], other[:1], ids[:1], mask[:1]
+    )["params"]
+    tx, _ = build_optimizer(
+        params, get_schedule("cosine", 5e-5, 100000), weight_decay=0.01, max_grad_norm=1.0
+    )
+
+    def apply_loss(p, middle, other, ids, mask):
+        out = model.apply({"params": p}, middle, other, ids, mask)
+        return out["loss"].astype(jnp.float32)
+
+    K = 2 if quick else 4
+    t, flops, nbytes = _train_scan_bench(apply_loss, params, (middle, other, ids, mask), tx, K)
+    return with_mfu(
+        {"model": "HD-VILA stage-1 TRAIN step (hybrid enc+BERT-L+ITC)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+
+
+def _bench_clipvip_variant(factory, label, b, f=12, im=224, s=70, K=10):
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.clip_vip import CLIPViPModel
+
+    model = CLIPViPModel(factory(dtype=jnp.bfloat16))
+    ids = np.zeros((b, s), np.int64)
+    ids[:, 0], ids[:, 1:10], ids[:, 10] = 49406, 500, 49407
+    ids = jnp.asarray(ids)
+    mask = (ids > 0).astype(jnp.int32)
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, (b, f, im, im, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+
+    video = gen(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1])
+
+    def body(c, params, video, ids, mask):
+        v = video.at[0, 0, 0, 0, 0].set(c.astype(jnp.uint8))
+        out = model.apply(params, v, ids, mask)
+        return out["vis_features"][0, 0].astype(jnp.float32)
+
+    t, flops, nbytes = scan_timed(body, (params, video, ids, mask), K=K)
+    return with_mfu(
+        {"model": label, "batch": b, "ms": round(t * 1000, 1),
+         "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+
+
+def bench_clipvip_b16(quick=False):
+    """B/16 inference WITH MFU (round-2 verdict: the '—' cells). Exercises
+    the proxy-kernel VMEM head-group model at S=2356."""
+    from xpretrain_tpu.models.clip_vip import CLIPVipConfig
+
+    return _bench_clipvip_variant(
+        CLIPVipConfig.base_patch16, "CLIP-ViP B/16 inference (u8 ingest, scan-chained)",
+        b=4 if quick else 8, K=3 if quick else 8)
+
+
+def bench_clipvip_l14(quick=False):
+    """L/14 inference WITH MFU (S=3076, head-group 2)."""
+    from xpretrain_tpu.models.clip_vip import CLIPVipConfig
+
+    return _bench_clipvip_variant(
+        CLIPVipConfig.large_patch14, "CLIP-ViP L/14 inference (u8 ingest, scan-chained)",
+        b=2 if quick else 4, K=3 if quick else 6)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -229,21 +408,35 @@ def main():
                         "paste the refreshed table into its header section)")
     args = p.parse_args()
     rows = []
-    for fn in (bench_clipvip, bench_clipvip_train, bench_lfvila, bench_hdvila):
+    benches = (
+        bench_clipvip, bench_clipvip_train, bench_clipvip_b16, bench_clipvip_l14,
+        bench_lfvila, bench_hdvila, bench_hdvila_train, bench_lfvila_train,
+    )
+    for fn in benches:
         try:
             row = fn(args.quick)
             rows.append(row)
             print(json.dumps(row), flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"{fn.__name__} failed: {e}", flush=True)
+            print(f"{fn.__name__} failed: {type(e).__name__}: {str(e)[:300]}", flush=True)
+            if fn is bench_lfvila_train:
+                # HBM headroom probe: reference recipe remats the Swin blocks
+                try:
+                    row = bench_lfvila_train(args.quick, remat=True)
+                    rows.append(row)
+                    print(json.dumps(row), flush=True)
+                except Exception as e2:  # noqa: BLE001
+                    print(f"bench_lfvila_train remat failed: {str(e2)[:300]}", flush=True)
     import jax
 
     with open(args.out, "w") as f:
         f.write(f"Device: {jax.devices()[0]} — scan-chained timings (see PERF.md)\n\n")
-        f.write("| model | batch | step ms | clips/s | TFLOPs | MFU |\n|---|---|---|---|---|---|\n")
+        f.write("| model | batch | step ms | clips/s | TFLOPs | MFU | HBM GB/s | HBM % |\n"
+                "|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['model']} | {r['batch']} | {r['ms']} | {r['clips_per_s']} "
-                    f"| {r.get('tflops', 0)} | {r.get('mfu_pct', 0)}% |\n")
+                    f"| {r.get('tflops', 0)} | {r.get('mfu_pct', 0)}% "
+                    f"| {r.get('hbm_gbps', '—')} | {r.get('hbm_pct', '—')}% |\n")
     print(f"wrote {args.out}")
 
 
