@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -240,7 +241,10 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
     import jax
     import optax
 
-    @jax.jit
+    # donate the state args (production loops donate too): without donation
+    # params+moments are resident TWICE (input buffers + scan carry), which
+    # alone breaks the ~450M-param LF-VILA step on a 16 GB chip
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_k(params, opt_state, *args):
         def step(carry, _):
             p, o = carry
@@ -248,18 +252,21 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
             u, o = tx.update(g, o, p)
             return (optax.apply_updates(p, u), o), loss
 
-        (_, _), losses = jax.lax.scan(step, (params, opt_state), None, length=K)
-        return losses[-1]
+        (ps, os_), losses = jax.lax.scan(step, (params, opt_state), None, length=K)
+        return ps, os_, losses[-1]
 
-    args = (params, tx.init(params)) + tuple(batch_args)
-    float(run_k(*args))
+    state = (params, tx.init(params))
+    # cost BEFORE running: donation deletes the input buffers
+    flops, nbytes = cost_of(run_k, *state, *batch_args)
+    ps, os_, loss = run_k(*state, *batch_args)
+    float(loss)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(run_k(*args))
+        ps, os_, loss = run_k(ps, os_, *batch_args)
+        float(loss)
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[len(ts) // 2] / K
-    flops, nbytes = cost_of(run_k, *args)
     return t, flops, nbytes
 
 
