@@ -165,6 +165,12 @@ def main(argv=None):
         jnp.asarray(sample["text_input_mask"][:1]),
         **kwargs,
     )["params"]
+    if cfg.get("e2e_weights_path"):
+        # stage-2 restores stage-1 e2e weights this way (ref
+        # run_pretrain_stage2_group.py:138-144); converter is parity-tested
+        from xpretrain_tpu.models.pretrained import load_hdvila_e2e
+
+        params = load_hdvila_e2e(params, cfg["e2e_weights_path"])
 
     def apply_fn(p, batch, rng):
         extra = {}

@@ -101,6 +101,14 @@ def main(argv=None):
     parser.add_argument("--sample_frame", type=int, default=32)
     parser.add_argument("--sample_clip", type=int, default=4)
     parser.add_argument("--input_hw", type=int, nargs=2, default=[192, 320])
+    # the reference's WEIGHTS cascade (LF-VILA/src/run_pretrain.py:52-77)
+    parser.add_argument("--model_weight", type=str, default="",
+                        help="full LFVILA torch checkpoint (converted+merged)")
+    parser.add_argument("--stage1_model_weight", type=str, default="")
+    parser.add_argument("--swin_weight", type=str, default="",
+                        help="Swin torch checkpoint; 2-D inflated when --pretrained_2d")
+    parser.add_argument("--bert_weight", type=str, default="")
+    parser.add_argument("--pretrained_2d", type=int, default=1)
     cfg = parse_args(parser, argv)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
@@ -139,6 +147,18 @@ def main(argv=None):
         jnp.asarray(sample["attention_mask"][:1]),
         **{k: v for k, v in init_args.items() if v is not None},
     )["params"]
+    if any(cfg.get(k) for k in ("model_weight", "stage1_model_weight", "swin_weight", "bert_weight")):
+        from xpretrain_tpu.models.pretrained import load_lfvila_cascade
+
+        params = load_lfvila_cascade(
+            params,
+            model_weight=cfg.get("model_weight", ""),
+            stage1_model_weight=cfg.get("stage1_model_weight", ""),
+            swin_weight=cfg.get("swin_weight", ""),
+            bert_weight=cfg.get("bert_weight", ""),
+            pretrained_2d=bool(cfg.get("pretrained_2d", 1)),
+            window3d=tuple(model_cfg.video.window_size[-1]),
+        )
 
     def apply_fn(p, batch, rng):
         kwargs = {}

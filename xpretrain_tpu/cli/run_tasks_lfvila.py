@@ -109,6 +109,9 @@ def main(argv=None):
     parser.add_argument("--use_span_loss", type=int, default=1,
                         help="how2qa temporal span loss (ref how2_qa.yaml:72)")
     parser.add_argument("--span_loss_weight", type=float, default=1.0)
+    parser.add_argument("--model_weight", type=str, default="",
+                        help="pretrained LFVILA torch checkpoint to fine-tune from "
+                             "(shape-tolerant; task heads keep their init)")
     cfg = parse_args(parser, argv)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
@@ -188,6 +191,13 @@ def main(argv=None):
             jax.random.PRNGKey(cfg.seed), *[jnp.asarray(a[:1]) for a in args_of(sample)],
             **init_kwargs,
         )["params"]
+    if cfg.get("model_weight"):
+        # fine-tune from a pretrained checkpoint (ref trainer_* WEIGHTS use);
+        # the task models share video_encoder/text_encoder/projection names
+        # with the pretrain module, so the full-checkpoint converter merges
+        from xpretrain_tpu.models.pretrained import load_lfvila_cascade
+
+        params = load_lfvila_cascade(params, model_weight=cfg["model_weight"])
 
     def apply_fn(p, batch, rng):
         kwargs = {} if cfg.task == "retrieval" else {"labels": batch["labels"]}

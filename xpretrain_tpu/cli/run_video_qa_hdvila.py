@@ -235,6 +235,12 @@ def main(argv=None):
         jnp.asarray(sample["text_input_mask"][:1]),
         labels=jnp.asarray(sample["labels"][:1]),
     )["params"]
+    if cfg.get("e2e_weights_path"):
+        # fine-tunes start from pretrained e2e weights (shape-tolerant: the
+        # QA head keeps its init, ref load_state_dict_with_mismatch)
+        from xpretrain_tpu.models.pretrained import load_hdvila_e2e
+
+        params = load_hdvila_e2e(params, cfg["e2e_weights_path"])
 
     def apply_fn(p, batch, rng):
         return model.apply(
