@@ -135,6 +135,52 @@ def test_async_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_async_checkpoint_wait_retries_failed_save(tmp_path, monkeypatch):
+    """A failed in-flight async save must be retried synchronously by
+    wait() instead of aborting training (advisor r2)."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    state = {"w": np.arange(4, dtype=np.float32)}
+    mgr.save(1, state)
+
+    # simulate the in-flight write failing once at drain time
+    calls = {"n": 0}
+    real_wait = mgr._mgr.wait_until_finished
+
+    def flaky_wait():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated storage failure")
+        return real_wait()
+
+    monkeypatch.setattr(mgr._mgr, "wait_until_finished", flaky_wait)
+    mgr.wait()  # must not raise: retries the step-1 save synchronously
+    assert mgr.latest_step() == 1
+    restored = mgr.restore({"w": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(restored["w"], state["w"])
+
+
+def test_sync_checkpoint_save_bounded_retry(tmp_path, monkeypatch):
+    """Sync saves retry transient failures (ref load_save.py:47-63)."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), retries=3)
+    real_save = mgr._mgr.save
+    calls = {"n": 0}
+
+    def flaky_save(step, args=None, force=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated transient failure")
+        return real_save(step, args=args, force=force)
+
+    monkeypatch.setattr(mgr._mgr, "save", flaky_save)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    mgr.save(1, {"w": np.ones(4, np.float32)})
+    assert calls["n"] == 2 and mgr.latest_step() == 1
+
+
 def _opt_state_for(fused: bool):
     from xpretrain_tpu.optim import build_optimizer
     from xpretrain_tpu.parallel.train_step import TrainState

@@ -229,10 +229,10 @@ def bench_clipvip_train(quick=False):
         float(run_k(*args))
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[2] / K
-    flops = flops_of(run_k, *args)  # cost model counts the scan body once
+    flops, nbytes = cost_of(run_k, *args)  # cost model counts the scan body once
     return with_mfu(
         {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, scan-chained)", "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t)
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
 def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):

@@ -78,6 +78,13 @@ class CheckpointManager:
                 return
             except Exception as e:  # noqa: BLE001 - bounded retry like the reference
                 LOGGER.warning("checkpoint save attempt %d failed: %s", attempt, e)
+                # a partial/registered write of this step blocks the retry
+                # (orbax `force` skips the save-interval check, it does NOT
+                # overwrite an existing step) — clear it first
+                try:
+                    self._mgr.delete(step)
+                except Exception:  # noqa: BLE001 - nothing to delete
+                    pass
                 time.sleep(min(2**attempt, 30))
         raise RuntimeError(f"checkpoint save failed after {self.retries} retries")
 
