@@ -128,6 +128,23 @@ def test_checkpoint_resume(trained, tmp_path):
     np.testing.assert_allclose(a, b)
 
 
+def test_checkpoint_resume_adapts_fused_layout(trained):
+    """ClipVipTrainer must adopt the checkpoint's optimizer-state layout
+    when the configured --fused_adamw differs (the checkpoint in the shared
+    output dir was written with the fused default; resume with fused off)."""
+    trainer, state, cfg = trained
+    tok = HashTokenizer()
+    collate = RetrievalCollator(tok, max_txt_len=16)
+    train_loader = InfiniteIterator(BatchLoader(TransformedSynthetic(64), 16, collate, seed=0))
+    cfg3 = ConfigDict(fused_adamw=False, **{k: v for k, v in cfg.items()})
+    t3 = ClipVipTrainer(cfg3, train_loader, model_cfg=tiny_model_cfg())
+    state3 = t3.train()  # would fail at restore without the layout override
+    assert int(state3.step) == 6
+    np.testing.assert_allclose(
+        np.asarray(state.params["logit_scale"]), np.asarray(state3.params["logit_scale"])
+    )
+
+
 def test_steps_per_call_trainer(tmp_path):
     """steps_per_call=2 drives the same loop surface: step count, periodic
     checkpoint, and a final state identical in shape to the k=1 path."""

@@ -358,6 +358,108 @@ def bench_hdvila_train(quick=False, batch=None):
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
+def bench_hdvila_train_stage2(quick=False, batch=None):
+    """HD-VILA stage-2 pretrain step: MLM over the fused tower, stage-1
+    modules frozen (recipe ``configs/presets/hdvila_pretrain_stage2.json``
+    mirroring ``hd-vila/src/configs/pretrain_stage2.json``: batch 16/chip,
+    use_itm 0, lse clip agg, pixel random sampling 160)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.cli.run_pretrain_hdvila import HdVilaPretrainModel
+    from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoderConfig
+    from xpretrain_tpu.models.hd_vila.modeling import HdVilaModelConfig
+    from xpretrain_tpu.optim import build_optimizer, get_schedule
+
+    b = batch or (4 if quick else 16)
+    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16)
+    model_cfg = HdVilaModelConfig(
+        stage=2, pixel_random_sampling_size=160, score_agg_func="lse", dtype=jnp.bfloat16
+    )
+    model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=0.05)
+    rng = np.random.default_rng(0)
+    middle = jnp.asarray(rng.integers(0, 255, size=(b, 2, 3, 640, 1024)).astype(np.float32))
+    other = jnp.asarray(rng.integers(0, 255, size=(b, 2, 6, 3, 160, 256)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(2, 30000, size=(b, 50)).astype(np.int32))
+    mask = jnp.ones((b, 50), jnp.int32)
+    mlm = np.full((b, 50), -100, np.int32)
+    mlm[:, 2:9] = rng.integers(2, 30000, size=(b, 7))
+    mlm = jnp.asarray(mlm)
+    params = model.init(
+        jax.random.PRNGKey(0), middle[:1], other[:1], ids[:1], mask[:1],
+        mlm_labels=mlm[:1], sample_rng=jax.random.PRNGKey(2),
+    )["params"]
+    frozen = (
+        "encoder/cnn", "encoder/grid_encoder", "encoder/timesformer",
+        "transformer/t_proj", "transformer/v_proj", "bert/embeddings", "pooler1",
+    ) + tuple(f"layer_{i}/" for i in range(12))
+    tx, _ = build_optimizer(
+        params, get_schedule("linear", 5e-5, 100000), weight_decay=1e-3,
+        max_grad_norm=5.0, frozen_patterns=frozen,
+    )
+
+    def apply_loss(p, middle, other, ids, mask, mlm):
+        out = model.apply(
+            {"params": p}, middle, other, ids, mask,
+            mlm_labels=mlm, sample_rng=jax.random.PRNGKey(3),
+        )
+        return out["loss"].astype(jnp.float32)
+
+    K = 2 if quick else 4
+    t, flops, nbytes = _train_scan_bench(
+        apply_loss, params, (middle, other, ids, mask, mlm), tx, K)
+    return with_mfu(
+        {"model": "HD-VILA stage-2 TRAIN step (MLM, stage-1 frozen)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+
+
+def bench_lfvila_train_stage2(quick=False, batch=None, remat=True):
+    """LF-VILA stage-2 pretrain step: MLM+VTM over the fusion tower, video
+    encoder + BERT stages 0-1 frozen (recipe
+    ``configs/presets/lfvila_pretrain_stage2.yaml`` mirroring
+    ``pretrain_stage2.yaml``: batch 48/chip, final_num_patches 6)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.lf_vila.pretrain import LfVilaConfig, LfVilaPretrain
+    from xpretrain_tpu.optim import NO_DECAY_LFVILA, build_optimizer, get_schedule
+
+    b = batch or (8 if quick else 48)
+    cfg = LfVilaConfig(stage=2, final_num_patches=6, dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(cfg, video=dataclasses.replace(
+        cfg.video, dtype=jnp.bfloat16, remat=bool(remat)))
+    model = LfVilaPretrain(cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(b, 3, 32, 192, 320)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(2, 30000, size=(b, 4, 50)).astype(np.int32))
+    mask = jnp.ones((b, 4, 50), jnp.int32)
+    mlm = np.full((b, 4 * 50), -100, np.int32)
+    mlm[:, 3:20] = rng.integers(2, 30000, size=(b, 17))
+    mlm = jnp.asarray(mlm)
+    params = model.init(
+        jax.random.PRNGKey(0), video[:1], ids[:1], mask[:1], mlm_labels=mlm[:1]
+    )["params"]
+    frozen = ("video_encoder", "sent_embedding") + tuple(
+        f"layer_{i}/" for i in range(12)
+    )
+    tx, _ = build_optimizer(
+        params, get_schedule("linear", 5e-5, 100000), weight_decay=0.05,
+        no_decay_patterns=NO_DECAY_LFVILA, max_grad_norm=1.0, frozen_patterns=frozen,
+    )
+
+    def apply_loss(p, video, ids, mask, mlm):
+        out = model.apply({"params": p}, video, ids, mask, mlm_labels=mlm)
+        return out["loss"].astype(jnp.float32)
+
+    K = 2 if quick else 3
+    t, flops, nbytes = _train_scan_bench(apply_loss, params, (video, ids, mask, mlm), tx, K)
+    return with_mfu(
+        {"model": "LF-VILA stage-2 TRAIN step (MLM+VTM, stage-1 frozen)", "batch": b,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+
+
 def _bench_clipvip_variant(factory, label, b, f=12, im=224, s=70, K=10):
     import jax
     import jax.numpy as jnp
