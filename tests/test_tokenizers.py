@@ -102,3 +102,19 @@ def test_wordpiece(wp_vocab):
     ids, mask = tok(["playing"], max_len=6)
     assert list(ids[0][:4]) == [tok.cls_id, 7, 8, tok.sep_id]
     assert mask[0].sum() == 4
+
+
+def test_warn_if_hash_with_weights(caplog):
+    import logging
+
+    from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
+
+    with caplog.at_level(logging.WARNING, logger="xpretrain_tpu.data.tokenization"):
+        warn_if_hash_with_weights("hash", "/ckpt/model.pt")
+    assert any("meaningless" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    # real tokenizer or no weights: silent
+    with caplog.at_level(logging.WARNING, logger="xpretrain_tpu.data.tokenization"):
+        warn_if_hash_with_weights("wordpiece", "/ckpt/model.pt")
+        warn_if_hash_with_weights("hash", "")
+    assert not caplog.records

@@ -270,7 +270,7 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
     return t, flops, nbytes
 
 
-def bench_lfvila_train(quick=False, batch=None, remat=None):
+def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None):
     """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
     + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
     4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;
@@ -289,7 +289,8 @@ def bench_lfvila_train(quick=False, batch=None, remat=None):
     # remat=None probes no-remat first and falls back (OOM at this scale)
     cfg = LfVilaConfig(dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, video=dataclasses.replace(
-        cfg.video, dtype=jnp.bfloat16, remat=bool(remat)))
+        cfg.video, dtype=jnp.bfloat16, remat=bool(remat),
+        remat_policy=remat_policy))
     model = LfVilaPretrain(cfg)
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(b, 3, 32, 192, 320)).astype(np.float32))

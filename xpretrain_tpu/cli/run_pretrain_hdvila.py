@@ -168,8 +168,10 @@ def main(argv=None):
     if cfg.get("e2e_weights_path"):
         # stage-2 restores stage-1 e2e weights this way (ref
         # run_pretrain_stage2_group.py:138-144); converter is parity-tested
+        from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
         from xpretrain_tpu.models.pretrained import load_hdvila_e2e
 
+        warn_if_hash_with_weights(cfg.get("tokenizer", "hash"), cfg["e2e_weights_path"])
         params = load_hdvila_e2e(params, cfg["e2e_weights_path"])
 
     def apply_fn(p, batch, rng):

@@ -52,6 +52,7 @@ def lfvila_config_from(cfg) -> LfVilaConfig:
         temporal_no_shifting=bool(ve.get("temporal_no_shifting", True)),
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         remat=bool(cfg.get("gradient_checkpointing", False)),
+        remat_policy=cfg.get("remat_policy") or None,
     )
     bert_kw = dict(
         stage_bounds=(int(cfg.get("num_local_layers", 8)), int(cfg.get("stage1_layers", 12))),
@@ -148,8 +149,14 @@ def main(argv=None):
         **{k: v for k, v in init_args.items() if v is not None},
     )["params"]
     if any(cfg.get(k) for k in ("model_weight", "stage1_model_weight", "swin_weight", "bert_weight")):
+        from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
         from xpretrain_tpu.models.pretrained import load_lfvila_cascade
 
+        warn_if_hash_with_weights(
+            cfg.get("tokenizer", "hash"),
+            next(w for k in ("model_weight", "stage1_model_weight", "swin_weight", "bert_weight")
+                 if (w := cfg.get(k))),
+        )
         params = load_lfvila_cascade(
             params,
             model_weight=cfg.get("model_weight", ""),

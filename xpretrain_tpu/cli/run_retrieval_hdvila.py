@@ -154,8 +154,10 @@ def main(argv=None):
         jnp.asarray(sample["text_input_mask"][:1]),
     )["params"]
     if cfg.get("e2e_weights_path"):
+        from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
         from xpretrain_tpu.models.pretrained import load_hdvila_e2e
 
+        warn_if_hash_with_weights(cfg.get("tokenizer", "hash"), cfg["e2e_weights_path"])
         params = load_hdvila_e2e(params, cfg["e2e_weights_path"])
 
     loss_fn = build_loss_fn(cfg.get("loss_name", "NCEContrastiveLoss"), temp=model_cfg.temp) \

@@ -195,8 +195,10 @@ def main(argv=None):
         # fine-tune from a pretrained checkpoint (ref trainer_* WEIGHTS use);
         # the task models share video_encoder/text_encoder/projection names
         # with the pretrain module, so the full-checkpoint converter merges
+        from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
         from xpretrain_tpu.models.pretrained import load_lfvila_cascade
 
+        warn_if_hash_with_weights(cfg.get("tokenizer", "hash"), cfg["model_weight"])
         params = load_lfvila_cascade(params, model_weight=cfg["model_weight"])
 
     def apply_fn(p, batch, rng):

@@ -238,8 +238,10 @@ def main(argv=None):
     if cfg.get("e2e_weights_path"):
         # fine-tunes start from pretrained e2e weights (shape-tolerant: the
         # QA head keeps its init, ref load_state_dict_with_mismatch)
+        from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
         from xpretrain_tpu.models.pretrained import load_hdvila_e2e
 
+        warn_if_hash_with_weights(cfg.get("tokenizer", "hash"), cfg["e2e_weights_path"])
         params = load_hdvila_e2e(params, cfg["e2e_weights_path"])
 
     def apply_fn(p, batch, rng):

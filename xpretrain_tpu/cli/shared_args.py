@@ -68,6 +68,14 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
     # precision / memory
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--gradient_checkpointing", type=int, default=0)
+    p.add_argument(
+        "--remat_policy", type=str, default="",
+        help="selective-remat policy for checkpointed blocks, a "
+        "jax.checkpoint_policies name (e.g. dots_saveable): keep matmul "
+        "outputs resident in the backward pass, recompute only the "
+        "elementwise pipeline. Consumed by the LF-VILA Swin3D path; '' = "
+        "full remat",
+    )
     p.add_argument("--zero2", type=int, default=1, help="shard optimizer state over the mesh")
     p.add_argument("--async_checkpoint", type=int, default=0,
                    help="non-blocking orbax saves (next save surfaces prior errors)")

@@ -73,6 +73,15 @@ class Swin3DConfig:
     pallas_min_window: int = 240
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Selective-rematerialization policy (name of a ``jax.checkpoint_policies``
+    # member, e.g. "dots_saveable" / "dots_with_no_batch_dims_saveable").
+    # Full remat recomputes every block op in the backward pass; a dots
+    # policy keeps matmul outputs resident and recomputes only the cheap
+    # elementwise/softmax pipeline — fewer recomputed HBM bytes on a step
+    # that is bandwidth-bound (PERF.md: 83.5% of the v5e HBM ceiling).
+    # None = full remat (the reference's per-part checkpointing,
+    # ``LF-VILA/src/models/video_encoder.py:257-266``).
+    remat_policy: str | None = None
     # Context parallelism for long-form inputs: name of a mesh axis to shard
     # the TEMPORAL dimension of activations over (e.g. "model" on a
     # (data, model) mesh). HTWA's growing windows make this nearly
@@ -398,7 +407,14 @@ class SwinTransformer3D(nn.Module):
         dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
         block_idx = 0
         local_feat = None
-        block_cls = nn.remat(SwinBlock3D, static_argnums=(2,)) if cfg.remat else SwinBlock3D
+        if cfg.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, cfg.remat_policy)
+                if cfg.remat_policy else None
+            )
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,), policy=policy)
+        else:
+            block_cls = SwinBlock3D
 
         for i_layer in range(len(cfg.depths)):
             window = tuple(cfg.window_size[i_layer])
