@@ -1,4 +1,5 @@
 from xpretrain_tpu.ops import losses
 from xpretrain_tpu.ops.losses import build_loss_fn
+from xpretrain_tpu.ops.quant import int8_serving, maybe_int8_serving
 
-__all__ = ["losses", "build_loss_fn"]
+__all__ = ["losses", "build_loss_fn", "int8_serving", "maybe_int8_serving"]
