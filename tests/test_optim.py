@@ -179,3 +179,48 @@ def test_fused_no_clip_and_accum():
     assert float(jnp.abs(u1["vision"]["kernel"]).max()) == 0.0
     u2, state = tx_acc.update(g, state, params)
     assert float(jnp.abs(u2["vision"]["kernel"]).max()) > 0.0
+
+
+def test_moment_dtype_bf16_state_and_trajectory():
+    """bf16 moment storage: state dtypes reduced, trajectory tracks fp32."""
+    from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg
+
+    assert moment_dtype_from_cfg({"moment_dtype": "bf16"}) == jnp.bfloat16
+    assert moment_dtype_from_cfg({"moment_dtype": "fp32"}) is None
+    assert moment_dtype_from_cfg({}) is None
+
+    params = _params()
+    sched = get_schedule("constant", 1e-2, 10)
+    tx32, _ = build_optimizer(params, sched, weight_decay=0.01, fused=True)
+    tx16, _ = build_optimizer(
+        params, sched, weight_decay=0.01, fused=True, moment_dtype=jnp.bfloat16
+    )
+    s16 = tx16.init(params)
+    assert s16.mu["vision"]["kernel"].dtype == jnp.bfloat16
+    assert s16.nu["vision"]["kernel"].dtype == jnp.bfloat16
+    # frozen-style empty moments keep working
+    p32 = p16 = params
+    s32 = tx32.init(params)
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) * 0.1, p.dtype), params
+        )
+        u32, s32 = tx32.update(grads, s32, p32)
+        u16, s16 = tx16.update(grads, s16, p16)
+        p32 = optax.apply_updates(p32, u32)
+        p16 = optax.apply_updates(p16, u16)
+    for a, b in zip(jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(p16)):
+        # storage-precision-only difference: trajectories stay close
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05, atol=5e-3)
+    # update dtype follows the param dtype
+    assert u16["vision"]["kernel"].dtype == params["vision"]["kernel"].dtype
+
+
+def test_moment_dtype_requires_fused():
+    import pytest
+
+    params = _params()
+    sched = get_schedule("constant", 1e-2, 10)
+    with pytest.raises(ValueError, match="fused"):
+        build_optimizer(params, sched, fused=False, moment_dtype=jnp.bfloat16)

@@ -270,7 +270,8 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
     return t, flops, nbytes
 
 
-def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None):
+def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
+                       moment_dtype=None):
     """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
     + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
     4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;
@@ -302,6 +303,7 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None):
     tx, _ = build_optimizer(
         params, get_schedule("cosine", 5e-5, 100000), weight_decay=0.01,
         no_decay_patterns=NO_DECAY_LFVILA, max_grad_norm=1.0,
+        moment_dtype=moment_dtype,
     )
 
     def apply_loss(p, video, ids, mask):
@@ -313,6 +315,8 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None):
     K = 2 if quick else 4
     t, flops, nbytes = _train_scan_bench(apply_loss, params, (video, ids, mask), tx, K)
     tag = " remat" if remat else ""
+    if moment_dtype is not None:
+        tag += " bf16-moments"
     return with_mfu(
         {"model": f"LF-VILA stage-1 TRAIN step (Swin3D+BERT-L+ITC/MTC{tag})", "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)

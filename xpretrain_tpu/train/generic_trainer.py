@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from xpretrain_tpu.optim import build_optimizer, get_schedule
+from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg as _moment_dtype
 from xpretrain_tpu.parallel.mesh import mesh_from_config
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
@@ -94,6 +95,7 @@ class GenericTrainer:
             frozen_patterns=tuple(cfg.get("frozen_patterns", ())),
             **kwargs,
             fused=fused,
+            moment_dtype=_moment_dtype(cfg),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
         tp = int(cfg.get("tp", 1) or 1)

@@ -26,6 +26,7 @@ from xpretrain_tpu.models.clip_vip import (
 )
 from xpretrain_tpu.ops.losses import build_loss_fn
 from xpretrain_tpu.optim import build_optimizer, get_schedule
+from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg as _moment_dtype
 from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
@@ -156,6 +157,7 @@ class ClipVipTrainer:
             grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)),
             frozen_patterns=tuple(frozen),
             fused=fused,
+            moment_dtype=_moment_dtype(cfg),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
