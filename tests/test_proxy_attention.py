@@ -78,6 +78,62 @@ def test_mask_semantics_patch_isolation(qkv):
     assert np.abs(np.asarray(out1[:, :, :M]) - np.asarray(out2[:, :, :M])).max() > 1e-3
 
 
+def test_packed_kernel_matches_xla(qkv):
+    """The packed [B,S,H·D]-layout kernel (v3: no HBM layout transposes)
+    must be numerically identical to the [B,H,S,D] path, fwd and bwd."""
+    from xpretrain_tpu.ops.proxy_attention import proxy_flash_attention_packed
+
+    q, k, v = qkv
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    want = pack(_attention_xla(q, k, v, M, L, D**-0.5))
+    got = proxy_flash_attention_packed(
+        pack(q), pack(k), pack(v), M, N, L, D**-0.5, D, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_packed(q, k, v):
+        out = proxy_flash_attention_packed(
+            q, k, v, M, N, L, D**-0.5, D, interpret=True
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(qp, kp, vp):
+        split = lambda x: x.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        out = pack(_attention_xla(split(qp), split(kp), split(vp), M, L, D**-0.5))
+        return jnp.sum(out * jnp.cos(out))
+
+    args = (pack(q), pack(k), pack(v))
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_packed, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=f"d{name}"
+        )
+
+
+def test_head_group_packed_pins():
+    """Packed kernels run under a raised per-kernel scoped-VMEM limit
+    (``CompilerParams(vmem_limit_bytes=96 MiB)``) with a ~64 B/elem stack
+    model (29.07 MiB reported by Mosaic at HG=12, S=592). Pin the shipped
+    head-group picks for the three reference variants so a constant edit
+    can't silently re-break compile."""
+    from xpretrain_tpu.ops.proxy_attention import (
+        _PACKED_STACK_BYTES_PER_ELEM,
+        _PACKED_STACK_LIMIT_BYTES,
+        _head_group_packed,
+    )
+
+    assert _head_group_packed(12, 592, 64, n_bufs=4) == 12  # B/32 fwd: full
+    assert _head_group_packed(12, 2356, 64, n_bufs=4) == 6  # B/16 fwd
+    assert _head_group_packed(16, 3076, 64, n_bufs=4) == 4  # L/14 fwd
+    for H, S in ((12, 592), (12, 2356), (16, 3076)):
+        hg = _head_group_packed(H, S, 64, n_bufs=16)  # bwd picker
+        assert hg >= 1
+        assert (
+            _PACKED_STACK_BYTES_PER_ELEM * hg * S * 64 <= _PACKED_STACK_LIMIT_BYTES
+        )
+
+
 def test_head_group_respects_vmem_stack_cap():
     """B/16's S=2356 blew the 16 MiB scoped-VMEM stack at HG=6 (compile-time
     failure, past the Python fallback). The picker must cap HG by the

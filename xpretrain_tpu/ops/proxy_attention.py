@@ -71,21 +71,78 @@ def _attention_xla(q: Array, k: Array, v: Array, M: int, L: int, scale: float) -
 _STACK_BYTES_PER_ELEM = 32
 _STACK_LIMIT_BYTES = 14 * 1024 * 1024
 
+# The packed-layout kernels measure ~64 bytes per HG·S·D element (the
+# [S,HG,D]→[HG,S,D] VMEM relayout keeps sublane/lane-padded copies of
+# q/k/v/o live: 29.07 MiB reported at HG=12, S=592, D=64). They therefore
+# request a raised per-kernel scoped-VMEM limit via
+# ``CompilerParams(vmem_limit_bytes=...)`` — v5e has 128 MiB of VMEM and
+# the 16 MiB default is just a conservative compiler default.
+_PACKED_STACK_BYTES_PER_ELEM = 64
+_PACKED_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+_PACKED_STACK_LIMIT_BYTES = int(_PACKED_VMEM_LIMIT_BYTES * 0.85)
 
-def _head_group(H: int, S: int, D: int, n_bufs: int) -> int:
+
+def _head_group(
+    H: int,
+    S: int,
+    D: int,
+    n_bufs: int,
+    stack_bytes_per_elem: int = _STACK_BYTES_PER_ELEM,
+    stack_limit_bytes: int = _STACK_LIMIT_BYTES,
+) -> int:
     """Largest divisor of H whose buffers AND scoped stack fit VMEM.
 
     Two constraints: n_bufs [HG, S, D] bf16 io buffers within the budget,
     and the kernel's fp32 temporaries (softmax/concat stack) within the
-    16 MiB scoped-vmem hard limit per the empirical model above. The stack
+    scoped-vmem limit per the empirical model above. The stack
     constraint is what caps HG at long S (e.g. B/16's S=2356 → HG=3).
     """
     per_head = n_bufs * S * D * 2
     hg = max(1, _VMEM_BUDGET_BYTES // per_head)
-    hg = min(hg, max(1, _STACK_LIMIT_BYTES // (_STACK_BYTES_PER_ELEM * S * D)))
+    hg = min(hg, max(1, stack_limit_bytes // (stack_bytes_per_elem * S * D)))
     while H % hg:
         hg -= 1
     return hg
+
+
+def _head_group_packed(H: int, S: int, D: int, n_bufs: int) -> int:
+    return _head_group(
+        H, S, D, n_bufs,
+        stack_bytes_per_elem=_PACKED_STACK_BYTES_PER_ELEM,
+        stack_limit_bytes=_PACKED_STACK_LIMIT_BYTES,
+    )
+
+
+def _cell_fwd(qb: Array, kb: Array, vb: Array, M: int, L: int, scale: float) -> Array:
+    """Shared forward cell body: q/k/v [HG, S, D] in VMEM -> out [HG, S, D]."""
+    HG, S, D = qb.shape
+    N = (S - M) // L
+    kp = kb[:, :M]  # [HG, M, D] proxies
+    vp = vb[:, :M]
+    bm = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    pv = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # proxy rows attend the full sequence
+    sp = bm(qb[:, :M], kb) * scale  # [HG, M, S]
+    wp = jax.nn.softmax(sp, axis=-1).astype(vb.dtype)
+    outs = [pv(wp, vb)]  # [HG, M, D]
+    # per-frame blocks: softmax over the M+L *allowed* columns only
+    for f in range(N):
+        r0 = M + f * L
+        qf = jax.lax.slice(qb, (0, r0, 0), (HG, r0 + L, D))
+        kcat = jnp.concatenate(
+            [kp, jax.lax.slice(kb, (0, r0, 0), (HG, r0 + L, D))], axis=1
+        )  # [HG, M+L, D]
+        vcat = jnp.concatenate(
+            [vp, jax.lax.slice(vb, (0, r0, 0), (HG, r0 + L, D))], axis=1
+        )
+        s = bm(qf, kcat) * scale  # [HG, L, M+L]
+        w = jax.nn.softmax(s, axis=-1).astype(vb.dtype)
+        outs.append(pv(w, vcat))  # [HG, L, D]
+    return jnp.concatenate(outs, axis=1)
 
 
 def _attention_pallas(
@@ -95,39 +152,11 @@ def _attention_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, S, D = q.shape
-    N = (S - M) // L
     HG = _head_group(H, S, D, n_bufs=4)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0]  # [HG, S, D]
-        kb = k_ref[0]
-        vb = v_ref[0]
-        kp = kb[:, :M]  # [HG, M, D] proxies
-        vp = vb[:, :M]
-        bm = lambda a, b: jax.lax.dot_general(
-            a, b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        pv = lambda a, b: jax.lax.dot_general(
-            a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        # proxy rows attend the full sequence
-        sp = bm(qb[:, :M], kb) * scale  # [HG, M, S]
-        wp = jax.nn.softmax(sp, axis=-1).astype(vb.dtype)
-        outs = [pv(wp, vb)]  # [HG, M, D]
-        # per-frame blocks: softmax over the M+L *allowed* columns only
-        for f in range(N):
-            r0 = M + f * L
-            qf = jax.lax.slice(qb, (0, r0, 0), (HG, r0 + L, D))
-            kcat = jnp.concatenate(
-                [kp, jax.lax.slice(kb, (0, r0, 0), (HG, r0 + L, D))], axis=1
-            )  # [HG, M+L, D]
-            vcat = jnp.concatenate(
-                [vp, jax.lax.slice(vb, (0, r0, 0), (HG, r0 + L, D))], axis=1
-            )
-            s = bm(qf, kcat) * scale  # [HG, L, M+L]
-            w = jax.nn.softmax(s, axis=-1).astype(vb.dtype)
-            outs.append(pv(w, vcat))  # [HG, L, D]
-        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        out = _cell_fwd(q_ref[0], k_ref[0], v_ref[0], M, L, scale)
+        o_ref[0] = out.astype(o_ref.dtype)
 
     spec = lambda: pl.BlockSpec(
         (1, HG, S, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
@@ -142,11 +171,55 @@ def _attention_pallas(
     )(q, k, v)
 
 
-def _attention_pallas_bwd(
-    q: Array, k: Array, v: Array, d_out: Array, M: int, L: int, scale: float,
+def _attention_pallas_packed(
+    q: Array, k: Array, v: Array, M: int, L: int, scale: float, head_dim: int,
     interpret: bool = False,
+) -> Array:
+    """Layout-preserving forward: q/k/v are the raw [B, S, H·D] projection
+    outputs (heads contiguous on the feature axis). The [S, HG·D] block is
+    relayouted to [HG, S, D] *inside VMEM*, so the four per-layer HBM
+    transposes of the [B,H,S,D] path (q/k/v in, o out — ~4×2×22 MB of HBM
+    traffic per layer at B/32 serving shapes) never happen."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, E = q.shape
+    D = head_dim
+    H = E // D
+    HG = _head_group_packed(H, S, D, n_bufs=4)
+    # [B,S,E] -> [B,S,H,D] is a bitcast (same HBM bytes): heads are
+    # contiguous on the feature axis. The head split costs nothing; only the
+    # [S,HG,D] -> [HG,S,D] relayout happens, inside VMEM.
+    q4 = q.reshape(B, S, H, D)
+    k4 = k.reshape(B, S, H, D)
+    v4 = v.reshape(B, S, H, D)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        relayout = lambda r: r[0].transpose(1, 0, 2)
+        out = _cell_fwd(relayout(q_ref), relayout(k_ref), relayout(v_ref), M, L, scale)
+        o_ref[0] = out.transpose(1, 0, 2).astype(o_ref.dtype)
+
+    spec = lambda: pl.BlockSpec(
+        (1, S, HG, D), lambda b, h: (b, 0, h, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // HG),
+        in_specs=[spec(), spec(), spec()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((B, S, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(q4, k4, v4)
+    return out.reshape(B, S, E)
+
+
+def _cell_bwd(
+    qb: Array, kb: Array, vb: Array, dob: Array, M: int, L: int, scale: float
 ) -> tuple[Array, Array, Array]:
-    """Fused backward with the same per-frame structure as the forward.
+    """Shared backward cell body — q/k/v/dO [HG, S, D] in VMEM.
 
     Standard softmax-attention backward — dV = Pᵀ dO; dP = dO Vᵀ;
     dS = P ⊙ (dP − rowsum(dP ⊙ P)); dQ = dS K·scale; dK = dSᵀ Q·scale —
@@ -155,77 +228,83 @@ def _attention_pallas_bwd(
     from every frame block AND the proxy rows; those terms are accumulated
     across the unrolled frame loop before the single store.
     """
+    HG, S, D = qb.shape
+    N = (S - M) // L
+    dob = dob.astype(jnp.float32)
+    kp = kb[:, :M]
+    vp = vb[:, :M]
+    bm = lambda a, b: jax.lax.dot_general(  # contract last dims
+        a, b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    mm = lambda a, b: jax.lax.dot_general(  # [.., X, Y] @ [.., Y, Z]
+        a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    tm = lambda a, b: jax.lax.dot_general(  # aᵀ b over rows
+        a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+    # ---- proxy rows: P_p [HG, M, S] over the full sequence ----
+    sp = bm(qb[:, :M], kb) * scale
+    p_p = jax.nn.softmax(sp, axis=-1)
+    do_p = dob[:, :M]
+    dv_full = tm(p_p, do_p)  # [HG, S, D]
+    dp_p = bm(do_p, vb.astype(jnp.float32))  # [HG, M, S]
+    ds_p = p_p * (dp_p - jnp.sum(dp_p * p_p, axis=-1, keepdims=True))
+    dq_p = mm(ds_p, kb.astype(jnp.float32)) * scale  # [HG, M, D]
+    dk_full = tm(ds_p, qb[:, :M].astype(jnp.float32)) * scale  # [HG, S, D]
+
+    # ---- per-frame blocks ----
+    dkp_acc = jnp.zeros((HG, M, D), jnp.float32)
+    dvp_acc = jnp.zeros((HG, M, D), jnp.float32)
+    dq_parts = [dq_p]
+    dk_parts = []
+    dv_parts = []
+    for f in range(N):
+        r0 = M + f * L
+        qf = jax.lax.slice(qb, (0, r0, 0), (HG, r0 + L, D))
+        kcat = jnp.concatenate(
+            [kp, jax.lax.slice(kb, (0, r0, 0), (HG, r0 + L, D))], axis=1
+        )
+        vcat = jnp.concatenate(
+            [vp, jax.lax.slice(vb, (0, r0, 0), (HG, r0 + L, D))], axis=1
+        )
+        do_f = jax.lax.slice(dob, (0, r0, 0), (HG, r0 + L, D))
+        s = bm(qf, kcat) * scale  # [HG, L, M+L]
+        p = jax.nn.softmax(s, axis=-1)
+        dv_cat = tm(p, do_f)  # [HG, M+L, D]
+        dp = bm(do_f, vcat.astype(jnp.float32))  # [HG, L, M+L]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_parts.append(mm(ds, kcat.astype(jnp.float32)) * scale)  # [HG, L, D]
+        dk_cat = tm(ds, qf.astype(jnp.float32)) * scale  # [HG, M+L, D]
+        dkp_acc = dkp_acc + jax.lax.slice(dk_cat, (0, 0, 0), (HG, M, D))
+        dvp_acc = dvp_acc + jax.lax.slice(dv_cat, (0, 0, 0), (HG, M, D))
+        dk_parts.append(jax.lax.slice(dk_cat, (0, M, 0), (HG, M + L, D)))
+        dv_parts.append(jax.lax.slice(dv_cat, (0, M, 0), (HG, M + L, D)))
+
+    dq = jnp.concatenate(dq_parts, axis=1)
+    dk = dk_full + jnp.concatenate([dkp_acc] + dk_parts, axis=1)
+    dv = dv_full + jnp.concatenate([dvp_acc] + dv_parts, axis=1)
+    return dq, dk, dv
+
+
+def _attention_pallas_bwd(
+    q: Array, k: Array, v: Array, d_out: Array, M: int, L: int, scale: float,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused backward in the [B, H, S, D] layout (see ``_cell_bwd``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, S, D = q.shape
-    N = (S - M) // L
     # 7 io buffers + the fp32 dq/dk/dv part lists (≈6 bf16-buffer equivalents)
     # + per-frame fp32 temporaries; 16 keeps HG·buffers under the VMEM limit.
     HG = _head_group(H, S, D, n_bufs=16)
 
     def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
-        qb = q_ref[0]
-        kb = k_ref[0]
-        vb = v_ref[0]
-        dob = do_ref[0].astype(jnp.float32)
-        kp = kb[:, :M]
-        vp = vb[:, :M]
-        bm = lambda a, b: jax.lax.dot_general(  # contract last dims
-            a, b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        mm = lambda a, b: jax.lax.dot_general(  # [.., X, Y] @ [.., Y, Z]
-            a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        tm = lambda a, b: jax.lax.dot_general(  # aᵀ b over rows
-            a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-
-        # ---- proxy rows: P_p [HG, M, S] over the full sequence ----
-        sp = bm(qb[:, :M], kb) * scale
-        p_p = jax.nn.softmax(sp, axis=-1)
-        do_p = dob[:, :M]
-        dv_full = tm(p_p, do_p)  # [HG, S, D]
-        dp_p = bm(do_p, vb.astype(jnp.float32))  # [HG, M, S]
-        ds_p = p_p * (dp_p - jnp.sum(dp_p * p_p, axis=-1, keepdims=True))
-        dq_p = mm(ds_p, kb.astype(jnp.float32)) * scale  # [HG, M, D]
-        dk_full = tm(ds_p, qb[:, :M].astype(jnp.float32)) * scale  # [HG, S, D]
-
-        # ---- per-frame blocks ----
-        dkp_acc = jnp.zeros((HG, M, D), jnp.float32)
-        dvp_acc = jnp.zeros((HG, M, D), jnp.float32)
-        dq_parts = [dq_p]
-        dk_parts = []
-        dv_parts = []
-        for f in range(N):
-            r0 = M + f * L
-            qf = jax.lax.slice(qb, (0, r0, 0), (HG, r0 + L, D))
-            kcat = jnp.concatenate(
-                [kp, jax.lax.slice(kb, (0, r0, 0), (HG, r0 + L, D))], axis=1
-            )
-            vcat = jnp.concatenate(
-                [vp, jax.lax.slice(vb, (0, r0, 0), (HG, r0 + L, D))], axis=1
-            )
-            do_f = jax.lax.slice(dob, (0, r0, 0), (HG, r0 + L, D))
-            s = bm(qf, kcat) * scale  # [HG, L, M+L]
-            p = jax.nn.softmax(s, axis=-1)
-            dv_cat = tm(p, do_f)  # [HG, M+L, D]
-            dp = bm(do_f, vcat.astype(jnp.float32))  # [HG, L, M+L]
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_parts.append(mm(ds, kcat.astype(jnp.float32)) * scale)  # [HG, L, D]
-            dk_cat = tm(ds, qf.astype(jnp.float32)) * scale  # [HG, M+L, D]
-            dkp_acc = dkp_acc + jax.lax.slice(dk_cat, (0, 0, 0), (HG, M, D))
-            dvp_acc = dvp_acc + jax.lax.slice(dv_cat, (0, 0, 0), (HG, M, D))
-            dk_parts.append(jax.lax.slice(dk_cat, (0, M, 0), (HG, M + L, D)))
-            dv_parts.append(jax.lax.slice(dv_cat, (0, M, 0), (HG, M + L, D)))
-
-        dq_ref[0] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
-        dk_ref[0] = (
-            dk_full + jnp.concatenate([dkp_acc] + dk_parts, axis=1)
-        ).astype(dk_ref.dtype)
-        dv_ref[0] = (
-            dv_full + jnp.concatenate([dvp_acc] + dv_parts, axis=1)
-        ).astype(dv_ref.dtype)
+        dq, dk, dv = _cell_bwd(q_ref[0], k_ref[0], v_ref[0], do_ref[0], M, L, scale)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
 
     spec = lambda: pl.BlockSpec(
         (1, HG, S, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
@@ -239,6 +318,51 @@ def _attention_pallas_bwd(
         out_shape=(shape, shape, shape),
         interpret=interpret,
     )(q, k, v, d_out)
+
+
+def _attention_pallas_bwd_packed(
+    q: Array, k: Array, v: Array, d_out: Array, M: int, L: int, scale: float,
+    head_dim: int, interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused backward in the packed [B, S, H·D] layout (see ``_cell_bwd``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, E = q.shape
+    D = head_dim
+    H = E // D
+    HG = _head_group_packed(H, S, D, n_bufs=16)
+    q4 = q.reshape(B, S, H, D)
+    k4 = k.reshape(B, S, H, D)
+    v4 = v.reshape(B, S, H, D)
+    do4 = d_out.reshape(B, S, H, D)
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+        relayout = lambda r: r[0].transpose(1, 0, 2)
+        dq, dk, dv = _cell_bwd(
+            relayout(q_ref), relayout(k_ref), relayout(v_ref), relayout(do_ref),
+            M, L, scale,
+        )
+        dq_ref[0] = dq.transpose(1, 0, 2).astype(dq_ref.dtype)
+        dk_ref[0] = dk.transpose(1, 0, 2).astype(dk_ref.dtype)
+        dv_ref[0] = dv.transpose(1, 0, 2).astype(dv_ref.dtype)
+
+    spec = lambda: pl.BlockSpec(
+        (1, S, HG, D), lambda b, h: (b, 0, h, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((B, S, H, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H // HG),
+        in_specs=[spec(), spec(), spec(), spec()],
+        out_specs=(spec(), spec(), spec()),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(q4, k4, v4, do4)
+    return dq.reshape(B, S, E), dk.reshape(B, S, E), dv.reshape(B, S, E)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -256,6 +380,74 @@ def _flash_bwd(M, L, scale, interpret, res, d_out):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(q, k, v, M, L, scale, head_dim, interpret):
+    return _attention_pallas_packed(q, k, v, M, L, scale, head_dim, interpret)
+
+
+def _flash_packed_fwd(q, k, v, M, L, scale, head_dim, interpret):
+    return _attention_pallas_packed(q, k, v, M, L, scale, head_dim, interpret), (q, k, v)
+
+
+def _flash_packed_bwd(M, L, scale, head_dim, interpret, res, d_out):
+    q, k, v = res
+    return _attention_pallas_bwd_packed(q, k, v, d_out, M, L, scale, head_dim, interpret)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def proxy_flash_attention_packed(
+    q: Array,  # [B, S, H·D] raw projection output, S = M + N*L
+    k: Array,
+    v: Array,
+    M: int,
+    N: int,
+    L: int,
+    scale: float,
+    head_dim: int,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Proxy attention in the packed [B, S, H·D] layout (differentiable).
+
+    Equivalent to ``split -> proxy_flash_attention -> merge`` with the head
+    split/merge done inside VMEM instead of as HBM layout transposes.
+
+    **Measured negative — not wired into the model.** Full-model A/B at
+    B/32 serving shapes (b=24, S=592) on v5e: 685 clips/s packed vs 1068
+    clips/s for the [B,H,S,D] kernel + XLA transposes. Isolated kernel A/B
+    confirms the decomposition: the v2 kernel measures the same with and
+    without its surrounding transposes (XLA fuses them into the adjacent
+    projection matmuls), while the packed kernel pays a real in-VMEM
+    [S,HG,D]→[HG,S,D] relayout per call (sublane-dim transpose: ~64 B/elem
+    scoped stack, 29.07 MiB at HG=12/S=592, needs a raised
+    ``vmem_limit_bytes``, and Mosaic compiles it ~15× slower). Kept as a
+    tested reference point so the layout question stays settled by data;
+    use :func:`proxy_flash_attention` in models."""
+    B, S, E = q.shape
+    assert S == M + N * L, (q.shape, M, N, L)
+    assert E % head_dim == 0
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas or interpret:
+        try:
+            return _flash_packed(q, k, v, M, L, scale, head_dim, interpret)
+        except Exception as e:  # pragma: no cover - unsupported backends
+            import warnings
+
+            warnings.warn(
+                f"proxy_flash_attention_packed pallas kernel failed "
+                f"({type(e).__name__}: {e}); falling back to the XLA path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    H = E // head_dim
+    split = lambda x: x.reshape(B, S, H, head_dim).transpose(0, 2, 1, 3)
+    out = _attention_xla(split(q), split(k), split(v), M, L, scale)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, E)
 
 
 def proxy_flash_attention(
