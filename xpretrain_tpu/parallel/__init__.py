@@ -5,6 +5,14 @@ from xpretrain_tpu.parallel.mesh import (
     create_mesh,
     replicated_sharding,
 )
+from xpretrain_tpu.parallel.pipeline import (
+    PIPE_AXIS,
+    make_pipeline,
+    pipeline_param_shardings,
+    pipelined_bert_encoder,
+    stack_layer_params,
+    unstack_layer_params,
+)
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
     tp_param_shardings,
@@ -14,10 +22,16 @@ from xpretrain_tpu.parallel.tensor_parallel import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "batch_sharding",
     "create_mesh",
     "replicated_sharding",
     "hybrid_state_shardings",
+    "make_pipeline",
+    "pipeline_param_shardings",
+    "pipelined_bert_encoder",
+    "stack_layer_params",
     "tp_param_shardings",
     "tp_pspec",
+    "unstack_layer_params",
 ]
