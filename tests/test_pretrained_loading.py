@@ -192,3 +192,168 @@ def test_lfvila_cascade_swin_plus_bert(tmp_path):
     )
     # the projections were NOT in either checkpoint: must keep the fresh init
     assert _tree_allclose(merged["video_global_proj"], fresh["video_global_proj"])
+
+
+def _swin2d_state_dict(rng, embed_dim=32, depths=(1, 1, 4, 1), heads=(2, 2, 4, 4),
+                       window=7, patch=4):
+    """Synthetic ImageNet-Swin-shaped 2-D state dict (4 stages, torch keys)."""
+    import torch
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    sd = {
+        "patch_embed.proj.weight": t(embed_dim, 3, patch, patch),
+        "patch_embed.proj.bias": t(embed_dim),
+        "norm.weight": t(embed_dim * 2 ** (len(depths) - 1)),
+        "norm.bias": t(embed_dim * 2 ** (len(depths) - 1)),
+    }
+    side = 2 * window - 1
+    for i, (d, h) in enumerate(zip(depths, heads)):
+        c = embed_dim * 2**i
+        for b in range(d):
+            p = f"layers.{i}.blocks.{b}."
+            sd[p + "norm1.weight"] = t(c)
+            sd[p + "norm1.bias"] = t(c)
+            sd[p + "attn.qkv.weight"] = t(3 * c, c)
+            sd[p + "attn.qkv.bias"] = t(3 * c)
+            sd[p + "attn.proj.weight"] = t(c, c)
+            sd[p + "attn.proj.bias"] = t(c)
+            sd[p + "attn.relative_position_bias_table"] = t(side * side, h)
+            sd[p + "attn.relative_position_index"] = torch.zeros(
+                window * window, window * window, dtype=torch.long
+            )
+            sd[p + "norm2.weight"] = t(c)
+            sd[p + "norm2.bias"] = t(c)
+            sd[p + "mlp.fc1.weight"] = t(4 * c, c)
+            sd[p + "mlp.fc1.bias"] = t(4 * c)
+            sd[p + "mlp.fc2.weight"] = t(c, 4 * c)
+            sd[p + "mlp.fc2.bias"] = t(c)
+        if i < len(depths) - 1:  # 2-D Swin downsamples after stages 0..2
+            sd[f"layers.{i}.downsample.reduction.weight"] = t(2 * c, 4 * c)
+            sd[f"layers.{i}.downsample.norm.weight"] = t(4 * c)
+            sd[f"layers.{i}.downsample.norm.bias"] = t(4 * c)
+    return sd
+
+
+def test_lfvila_cascade_2d_inflation_per_stage(tmp_path):
+    """pretrained_2d=1: a 4-stage 2-D Swin checkpoint inflates onto the
+    6-stage HTWA layout with PER-STAGE temporal windows (ref
+    ``load.py:199-238`` reads ``model.window_size[i_layer]``) and
+    positional (stage, block) remapping (ref ``load.py:111-147``).
+
+    Regression for the r3 review finding: a single last-stage window drove
+    the inflation, so 5 of 6 stages' bias tables shape-mismatched and
+    silently kept their random init.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from xpretrain_tpu.models.lf_vila.convert import _resize_bias_table_spatial
+    from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
+    from xpretrain_tpu.models.pretrained import load_lfvila_cascade
+
+    cfg = Swin3DConfig.tiny()  # depths (1,1,2,1,1,1), heads (2,2,4,4,4,4)
+    model = SwinTransformer3D(cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(1, 3, 8, 96, 160)).astype(np.float32))
+    fresh = {"video_encoder": model.init(jax.random.PRNGKey(3), video)["params"]}
+
+    sd2d = _swin2d_state_dict(rng)
+    path = tmp_path / "swin2d.pth"
+    torch.save({"model": sd2d}, str(path))
+
+    merged = load_lfvila_cascade(
+        fresh, swin_weight=str(path), pretrained_2d=True, swin_config=cfg
+    )["video_encoder"]
+
+    # 2-D (stage, block) sequence folds positionally onto the 6-stage layout:
+    # s0b0,s1b0,s2b0,s2b1,s2b2,s2b3,s3b0 -> s0b0,s1b0,s2b0,s2b1,s3b0,s4b0,s5b0
+    block_map = {
+        "layers_0_blocks_0": "layers.0.blocks.0.",
+        "layers_1_blocks_0": "layers.1.blocks.0.",
+        "layers_2_blocks_0": "layers.2.blocks.0.",
+        "layers_2_blocks_1": "layers.2.blocks.1.",
+        "layers_3_blocks_0": "layers.2.blocks.2.",
+        "layers_4_blocks_0": "layers.2.blocks.3.",
+        "layers_5_blocks_0": "layers.3.blocks.0.",
+    }
+    stage_of = lambda name: int(name.split("_")[1])
+    for flax_name, torch_prefix in block_map.items():
+        # qkv kernel proves the positional remap (transposed torch weight)
+        np.testing.assert_allclose(
+            np.asarray(merged[flax_name]["attn"]["qkv"]["kernel"]),
+            sd2d[torch_prefix + "attn.qkv.weight"].numpy().T,
+            atol=1e-6, err_msg=flax_name,
+        )
+        # bias table: spatial resize to this STAGE's (wh, ww) then (2wd-1)x tile
+        wd, wh, ww = cfg.window_size[stage_of(flax_name)]
+        table = _resize_bias_table_spatial(
+            sd2d[torch_prefix + "attn.relative_position_bias_table"].numpy(), wh, ww
+        )
+        expect = np.tile(
+            table.reshape(1, (2 * wh - 1) * (2 * ww - 1), -1), (2 * wd - 1, 1, 1)
+        ).reshape(-1, table.shape[-1])
+        got = np.asarray(merged[flax_name]["attn"]["relative_position_bias_table"])
+        assert got.shape == expect.shape, flax_name
+        np.testing.assert_allclose(got, expect, atol=1e-6, err_msg=flax_name)
+        assert not np.allclose(
+            got, np.asarray(fresh["video_encoder"][flax_name]["attn"]["relative_position_bias_table"])
+        ), f"{flax_name} bias table kept init"
+
+    # downsamples map positionally onto stages (0, 1, 4)
+    for flax_name, torch_prefix in (
+        ("layers_0_downsample", "layers.0.downsample."),
+        ("layers_1_downsample", "layers.1.downsample."),
+        ("layers_4_downsample", "layers.2.downsample."),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(merged[flax_name]["reduction"]["kernel"]),
+            sd2d[torch_prefix + "reduction.weight"].numpy().T,
+            atol=1e-6, err_msg=flax_name,
+        )
+
+    # patch embed: 4x4 kernel tiled 2x2 spatially (and kd=1 temporally), /4
+    w2d = sd2d["patch_embed.proj.weight"].numpy()
+    expect_kernel = np.tile(w2d[:, :, None], (1, 1, 1, 2, 2)).transpose(2, 3, 4, 1, 0) / 4.0
+    np.testing.assert_allclose(
+        np.asarray(merged["patch_embed"]["proj"]["kernel"]), expect_kernel, atol=1e-6
+    )
+
+
+def test_hdvila_e2e_routes_projections_into_rerank_head(hdvila_tiny, tmp_path):
+    """The rerank head scores eval retrieval with head.t_proj/head.v_proj
+    (``modeling.py:409-410``) — loading pretrain e2e weights must land the
+    checkpoint's trained projections there, not leave them at random init
+    (r3 review finding: only bert_model was routed)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from xpretrain_tpu.cli.run_retrieval_hdvila import HdVilaRerankModel
+    from xpretrain_tpu.models.export import hdvila_e2e_flax_to_torch
+    from xpretrain_tpu.models.pretrained import load_hdvila_e2e
+
+    enc_cfg, model_cfg, init = hdvila_tiny
+    src = init(1234)
+    sd = hdvila_e2e_flax_to_torch(src)
+    path = tmp_path / "hdvila_e2e.pt"
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, str(path))
+
+    rerank = HdVilaRerankModel(enc_cfg, model_cfg, num_negs=1)
+    rng = np.random.default_rng(3)
+    params = rerank.init(
+        jax.random.PRNGKey(5),
+        jnp.asarray(rng.integers(0, 255, (2, 1, 3, 128, 256)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 255, (2, 1, 2, 3, 32, 64)).astype(np.float32)),
+        jnp.asarray(rng.integers(2, 1000, (2, 8)).astype(np.int32)),
+        jnp.ones((2, 8), jnp.int32),
+    )["params"]
+    merged = load_hdvila_e2e(params, str(path))
+    for proj in ("t_proj", "v_proj"):
+        np.testing.assert_allclose(
+            np.asarray(merged["head"][proj]["kernel"]),
+            np.asarray(src["transformer"][proj]["kernel"]),
+            atol=1e-6, err_msg=proj,
+        )

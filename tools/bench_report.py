@@ -525,6 +525,7 @@ def main():
     benches = (
         bench_clipvip, bench_clipvip_train, bench_clipvip_b16, bench_clipvip_l14,
         bench_lfvila, bench_hdvila, bench_hdvila_train, bench_lfvila_train,
+        bench_hdvila_train_stage2, bench_lfvila_train_stage2,
     )
     for fn in benches:
         try:

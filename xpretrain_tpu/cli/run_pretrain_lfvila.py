@@ -164,7 +164,7 @@ def main(argv=None):
             swin_weight=cfg.get("swin_weight", ""),
             bert_weight=cfg.get("bert_weight", ""),
             pretrained_2d=bool(cfg.get("pretrained_2d", 1)),
-            window3d=tuple(model_cfg.video.window_size[-1]),
+            swin_config=model_cfg.video,
         )
 
     def apply_fn(p, batch, rng):

@@ -101,18 +101,15 @@ def build_loaders(cfg):
 def load_pretrained(cfg, trainer):
     if not cfg.get("clip_weights") and not cfg.get("e2e_weights_path"):
         return
-    if cfg.get("tokenizer", "hash") == "hash":
-        # hash ids never match the BPE ids real checkpoints were trained
-        # with, so every text embedding is garbage-in: loud, not fatal,
-        # because synthetic smoke runs legitimately combine the two.
-        LOGGER.warning(
-            "tokenizer=hash combined with pretrained weights (%s): hashed token "
-            "ids do NOT match the CLIP BPE vocabulary these weights were trained "
-            "with — retrieval quality will be meaningless. Pass --tokenizer "
-            "clip_bpe --tokenizer_vocab <vocab.json> --tokenizer_merges "
-            "<merges.txt> (tools/fetch_checkpoints.py downloads the assets).",
-            cfg.get("e2e_weights_path") or cfg.get("clip_weights"),
-        )
+    from xpretrain_tpu.data.tokenization import warn_if_hash_with_weights
+
+    warn_if_hash_with_weights(
+        cfg.get("tokenizer", "hash"),
+        cfg.get("e2e_weights_path") or cfg.get("clip_weights"),
+        vocab_name="CLIP BPE",
+        hint="--tokenizer clip_bpe --tokenizer_vocab <vocab.json> "
+             "--tokenizer_merges <merges.txt>",
+    )
     from xpretrain_tpu.models.clip_vip.convert import (
         load_torch_checkpoint,
         merge_pretrained,

@@ -74,11 +74,22 @@ class HdVilaRerankModel(nn.Module):
         deterministic: bool = True,
     ):
         grid = self.encoder(img_middle, img_other)
-        out = self.head(grid, text_input_ids, text_input_mask, deterministic=deterministic)
         if not with_rank_loss:
-            return out
+            return self.head(grid, text_input_ids, text_input_mask, deterministic=deterministic)
         k = self.num_negs
-        # (1+k)·B pairs: video_i × [own caption, k rolled captions]
+        B = text_input_ids.shape[0]
+        if k >= B:
+            # roll s with s % B == 0 would reproduce the positive pair — the
+            # "negative" column then contributes a constant margin with zero
+            # gradient and training silently does nothing
+            raise ValueError(
+                f"rank mode needs num_negs < batch size, got num_negs={k} "
+                f"with batch {B} (every roll 1..num_negs must be a distinct "
+                "non-identity permutation)"
+            )
+        # (1+k)·B pairs: video_i × [own caption, k rolled captions]; the
+        # positive block 0 doubles as the eval output, so the fusion tower
+        # runs ONCE over all pairs (no separate positive-only forward)
         ids = jnp.concatenate(
             [text_input_ids] + [jnp.roll(text_input_ids, s, axis=0) for s in range(1, k + 1)]
         )
@@ -87,6 +98,7 @@ class HdVilaRerankModel(nn.Module):
         )
         grid_rep = jnp.tile(grid, (1 + k,) + (1,) * (grid.ndim - 1))
         pair = self.head(grid_rep, ids, mask, deterministic=deterministic)
+        out = {name: pair[name][:B] for name in ("logits", "text_features", "vis_features")}
         scores = jax.nn.sigmoid(pair["logits"].astype(jnp.float32)).reshape(1 + k, -1).T
         pos, neg = scores[:, :1], scores[:, 1:]
         out["rank_loss"] = jnp.mean(jnp.maximum(self.margin + neg - pos, 0.0))

@@ -77,8 +77,14 @@ def load_hdvila_e2e(init_params: Mapping, path: str) -> dict:
         # their head module — route the pretraining transformer's shared
         # submodule there (the task-specific classifier keeps its init)
         trans = converted.pop("transformer")
-        if "bert_model" in trans and "bert_model" in init_params["head"]:
-            converted["head"] = {"bert_model": trans["bert_model"]}
+        # route every shared submodule the task head also declares — the
+        # rerank head reuses the pretraining t_proj/v_proj for its dual-
+        # encoder eval scores (modeling.py:409-410), not just bert_model;
+        # task-specific classifiers are absent from the checkpoint and
+        # keep their init
+        routed = {k: v for k, v in trans.items() if k in init_params["head"]}
+        if routed:
+            converted["head"] = routed
     LOGGER.info("loaded HD-VILA e2e weights from %s", path)
     return merge_into(init_params, converted)
 
@@ -90,14 +96,16 @@ def load_lfvila_cascade(
     swin_weight: str = "",
     bert_weight: str = "",
     pretrained_2d: bool = True,
-    window3d: tuple[int, int, int] = (16, 3, 5),
+    swin_config=None,
 ) -> dict:
     """The reference's WEIGHTS cascade (``run_pretrain.py:52-77``).
 
     Priority: full ``model_weight`` > ``stage1_model_weight`` (bert loaded
     first so stage-1 keys win) > per-encoder ``swin_weight``/``bert_weight``.
-    ``window3d`` is the deepest HTWA window (for 2-D bias-table inflation,
-    ref ``load.py:199-227``).
+    ``swin_config`` (a :class:`Swin3DConfig`; default-constructed when None)
+    supplies the per-stage windows / depths / downsample stages / patch size
+    that drive the 2-D inflation (ref ``load.py:199-238`` reads the same
+    geometry off the live model).
     """
     from xpretrain_tpu.models.bert_convert import bert_torch_to_flax
     from xpretrain_tpu.models.clip_vip.convert import load_torch_checkpoint
@@ -129,7 +137,17 @@ def load_lfvila_cascade(
     if swin_weight:
         sd = load_torch_checkpoint(swin_weight)
         if pretrained_2d:
-            sd = inflate_swin2d_to_3d(sd, window3d)
+            if swin_config is None:
+                from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig
+
+                swin_config = Swin3DConfig()
+            sd = inflate_swin2d_to_3d(
+                sd,
+                swin_config.window_size,
+                depths3d=tuple(swin_config.depths),
+                downsample_stages3d=tuple(swin_config.downsample_stages),
+                patch_size3d=tuple(swin_config.patch_size),
+            )
         params = merge_into(params, swin3d_torch_to_flax(sd), scope="video_encoder")
         LOGGER.info(
             "loaded %sSwin weights from %s", "inflated 2-D " if pretrained_2d else "", swin_weight

@@ -100,6 +100,23 @@ class CheckpointManager:
             self._save_with_retry(step, state, force=True)
         self._last_async = None
 
+    def poll(self) -> None:
+        """Non-blocking per-step hook for async mode: once the in-flight
+        write has landed, release the pinned host copy of the train state
+        (``_last_async`` holds params + both Adam moments — multiple GB on
+        the large families — which is only needed for the failed-write
+        retry path; r3 advisor finding). On a detected failure, retry
+        synchronously now rather than at the next save/close."""
+        if self._last_async is None or self._mgr.is_saving_in_progress():
+            return
+        step, state = self._last_async
+        self._last_async = None
+        try:
+            self._mgr.check_for_errors()
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning("async checkpoint at step %d failed (%s); retrying synchronously", step, e)
+            self._save_with_retry(step, state, force=True)
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
@@ -141,6 +158,35 @@ class CheckpointManager:
         # fused ScaleByAdamState does not (even under MultiSteps wrapping).
         return "inner_states" not in meta
 
+    @staticmethod
+    def _template_uses_fused_layout(state_template: Any) -> bool | None:
+        """Layout of the CURRENT run's optimizer state (same heuristic as
+        :meth:`saved_uses_fused_layout`); None when indeterminable."""
+        def has_inner_states(obj) -> bool:
+            # the multi_transform/partition layout is marked by a namedtuple
+            # field literally named 'inner_states' (optax PartitionState) —
+            # the same marker orbax serializes into _METADATA
+            if hasattr(obj, "_fields"):
+                return "inner_states" in obj._fields or any(
+                    has_inner_states(getattr(obj, f)) for f in obj._fields
+                )
+            if isinstance(obj, (list, tuple)):
+                return any(has_inner_states(x) for x in obj)
+            if isinstance(obj, dict):
+                return any(has_inner_states(v) for v in obj.values())
+            return False
+
+        try:
+            if isinstance(state_template, dict):
+                opt_state = state_template.get("opt_state")
+            else:
+                opt_state = getattr(state_template, "opt_state", None)
+            if opt_state is None:
+                return None
+            return not has_inner_states(opt_state)
+        except Exception:  # noqa: BLE001
+            return None
+
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:
@@ -148,8 +194,17 @@ class CheckpointManager:
         try:
             restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
         except Exception as e:
+            # Give the --fused_adamw migration hint ONLY when the saved and
+            # current optimizer-state layouts demonstrably differ — a shape
+            # mismatch from a model-config change or a corrupt step must
+            # surface as itself, not as wrong flag advice (r3 advisor).
             saved_fused = self.saved_uses_fused_layout(step)
-            if saved_fused is not None:
+            template_fused = self._template_uses_fused_layout(state_template)
+            if (
+                saved_fused is not None
+                and template_fused is not None
+                and saved_fused != template_fused
+            ):
                 raise RuntimeError(
                     f"checkpoint at step {step} in {self.directory} was written with "
                     f"{'--fused_adamw 1 (flat ScaleByAdamState)' if saved_fused else '--fused_adamw 0 (optax multi_transform)'} "

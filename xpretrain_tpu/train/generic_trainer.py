@@ -168,6 +168,7 @@ class GenericTrainer:
             on_log=on_log,
             on_validate=on_validate,
             on_save=on_save,
+            on_step=(lambda s: self.ckpt.poll()) if self.ckpt.async_save else None,
             profile_dir=f"{cfg.get('output_dir', '/tmp/xpt_output')}/profile",
             profile_start_step=int(cfg.get("profile_start_step", 3)),
             profile_num_steps=int(cfg.get("profile_steps", 0)),

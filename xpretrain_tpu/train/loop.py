@@ -78,6 +78,7 @@ def drive_train_loop(
     on_log: Optional[Callable[[int, dict, float], None]] = None,
     on_validate: Optional[Callable[[int, Any], None]] = None,
     on_save: Optional[Callable[[int, Any], None]] = None,
+    on_step: Optional[Callable[[int], None]] = None,
     profile_dir: Optional[str] = None,
     profile_start_step: int = 3,
     profile_num_steps: int = 0,
@@ -151,6 +152,10 @@ def drive_train_loop(
             on_validate(step, state)
         if on_save is not None and crossed(prev, step, save_every):
             on_save(step, state)
+        if on_step is not None:
+            # cheap per-chunk housekeeping hook (e.g. CheckpointManager.poll
+            # releasing the pinned async-save host copy once the write lands)
+            on_step(step)
     if profiling:  # num_train_steps ended inside the profiled window
         jax.profiler.stop_trace()
     return state

@@ -278,6 +278,7 @@ class ClipVipTrainer:
             on_log=on_log,
             on_validate=on_validate,
             on_save=on_save,
+            on_step=(lambda s: self.ckpt.poll()) if self.ckpt.async_save else None,
             profile_dir=f"{self.cfg.get('output_dir', '/tmp/xpt_output')}/profile",
             profile_start_step=int(self.cfg.get("profile_start_step", 3)),
             profile_num_steps=int(self.cfg.get("profile_steps", 0)),
