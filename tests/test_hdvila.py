@@ -269,3 +269,32 @@ def test_multiclip_logits_aggregation(tiny_hdvila):
     model_lse = HdVilaForSequenceClassification(dc.replace(model_cfg, score_agg_func="lse"), 5)
     lse = np.asarray(model_lse.apply(params, grid, ids, mask)["logits"])
     np.testing.assert_allclose(lse, np.logaddexp(c0, c1), rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_remat_matches_no_remat():
+    """remat=True (the reference's ``with_cp`` analogue,
+    ``resnet_mmdetection.py:182-183``) must not change the param tree, the
+    loss, or the gradients — only activation residency."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.hd_vila.e2e import HdVilaEncoder, HdVilaEncoderConfig
+
+    rng = np.random.default_rng(0)
+    mid = jnp.asarray(rng.normal(size=(1, 1, 3, 64, 128)).astype(np.float32))
+    oth = jnp.asarray(rng.normal(size=(1, 1, 2, 3, 16, 32)).astype(np.float32))
+    results = {}
+    for remat in (False, True):
+        model = HdVilaEncoder(HdVilaEncoderConfig.tiny(remat=remat))
+        params = model.init(jax.random.PRNGKey(0), mid, oth)["params"]
+
+        def loss_fn(p, model=model):
+            return jnp.mean(jnp.square(model.apply({"params": p}, mid, oth)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        results[remat] = (jax.tree_util.tree_structure(params), float(loss), grads)
+    assert results[False][0] == results[True][0]
+    assert abs(results[False][1] - results[True][1]) < 1e-6
+    flat = lambda t: jax.tree_util.tree_leaves(t)
+    for a, b in zip(flat(results[False][2]), flat(results[True][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -322,7 +322,7 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
-def bench_hdvila_train(quick=False, batch=None):
+def bench_hdvila_train(quick=False, batch=None, remat=False):
     """FULL HD-VILA stage-1 pretrain step: hybrid 2-ResNet50 + TimeSformer
     encoder + staged BERT-large + ITC, fwd+bwd+grouped-AdamW, reference
     recipe 2 clips × 7 frames at 640×1024, batch 8/chip
@@ -337,7 +337,7 @@ def bench_hdvila_train(quick=False, batch=None):
     from xpretrain_tpu.optim import build_optimizer, get_schedule
 
     b = batch or (2 if quick else 8)  # reference batch/GPU = 8
-    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16)
+    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16, remat=remat)
     model_cfg = HdVilaModelConfig(stage=1, dtype=jnp.bfloat16)
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=0.05)
     rng = np.random.default_rng(0)
@@ -359,11 +359,11 @@ def bench_hdvila_train(quick=False, batch=None):
     K = 2 if quick else 4
     t, flops, nbytes = _train_scan_bench(apply_loss, params, (middle, other, ids, mask), tx, K)
     return with_mfu(
-        {"model": "HD-VILA stage-1 TRAIN step (hybrid enc+BERT-L+ITC)", "batch": b,
+        {"model": "HD-VILA stage-1 TRAIN step (hybrid enc+BERT-L+ITC%s)" % (", remat" if remat else ""), "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
-def bench_hdvila_train_stage2(quick=False, batch=None):
+def bench_hdvila_train_stage2(quick=False, batch=None, remat=False):
     """HD-VILA stage-2 pretrain step: MLM over the fused tower, stage-1
     modules frozen (recipe ``configs/presets/hdvila_pretrain_stage2.json``
     mirroring ``hd-vila/src/configs/pretrain_stage2.json``: batch 16/chip,
@@ -377,7 +377,7 @@ def bench_hdvila_train_stage2(quick=False, batch=None):
     from xpretrain_tpu.optim import build_optimizer, get_schedule
 
     b = batch or (4 if quick else 16)
-    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16)
+    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16, remat=remat)
     model_cfg = HdVilaModelConfig(
         stage=2, pixel_random_sampling_size=160, score_agg_func="lse", dtype=jnp.bfloat16
     )
@@ -414,7 +414,7 @@ def bench_hdvila_train_stage2(quick=False, batch=None):
     t, flops, nbytes = _train_scan_bench(
         apply_loss, params, (middle, other, ids, mask, mlm), tx, K)
     return with_mfu(
-        {"model": "HD-VILA stage-2 TRAIN step (MLM, stage-1 frozen)", "batch": b,
+        {"model": "HD-VILA stage-2 TRAIN step (MLM, stage-1 frozen%s)" % (", remat" if remat else ""), "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 

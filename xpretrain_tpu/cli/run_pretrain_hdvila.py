@@ -88,6 +88,7 @@ def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
         timesformer_frames=int(cfg.get("num_frm", 7)),
         timesformer_hw=ts_hw,
         dtype=dtype,
+        remat=bool(cfg.get("gradient_checkpointing", False)),
     )
     kind = cfg.get("bert", "large")
     if kind == "large":

@@ -41,6 +41,10 @@ class HdVilaEncoderConfig:
     timesformer_frames: int = 7
     timesformer_hw: tuple = (10, 16)
     dtype: Any = jnp.float32
+    # rematerialize ResNet/TimeSformer blocks in backward (the reference's
+    # ``with_cp`` option); needed to fit the reference per-chip batch (16)
+    # of the stage-1/2 train steps in one v5e's 16 GB HBM
+    remat: bool = False
 
     @staticmethod
     def tiny(**overrides) -> "HdVilaEncoderConfig":
@@ -61,8 +65,8 @@ class HdVilaEncoder(nn.Module):
 
     def setup(self) -> None:
         cfg = self.config
-        self.cnn = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype)
-        self.cnn_low = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype)
+        self.cnn = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat)
+        self.cnn_low = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat)
         conv1x1 = lambda feats, name: nn.Conv(
             feats, (1, 1), use_bias=False, dtype=cfg.dtype, name=name
         )
@@ -78,6 +82,7 @@ class HdVilaEncoder(nn.Module):
                 embed_dim=cfg.hidden_size,
                 num_heads=cfg.timesformer_heads,
                 dtype=cfg.dtype,
+                remat=cfg.remat,
             )
         )
 

@@ -120,6 +120,9 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     base_channels: int = 64
     dtype: jnp.dtype = jnp.float32
+    # per-block rematerialization, the TPU analogue of the reference's
+    # ``with_cp`` torch.utils.checkpoint option (resnet_mmdetection.py:182-183)
+    remat: bool = False
 
     def setup(self) -> None:
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
@@ -133,6 +136,8 @@ class ResNet(nn.Module):
                 expansion = 4 if block_type == "bottleneck" else 1
                 needs_down = b == 0 and (stride != 1 or stage_idx > 0 or expansion != 1)
                 cls = Bottleneck if block_type == "bottleneck" else BasicBlock
+                if self.remat:
+                    cls = nn.remat(cls)
                 stage.append(
                     cls(
                         planes,

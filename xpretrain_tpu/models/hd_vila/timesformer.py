@@ -137,6 +137,7 @@ class TimeSformerConfig:
     num_heads: int = 16
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    remat: bool = False  # per-block rematerialization (see ResNet.remat)
 
 
 class TimeSformer(nn.Module):
@@ -162,8 +163,9 @@ class TimeSformer(nn.Module):
         tim = _interp_1d(time_embed, T)  # [1, T, C]
         x = x + tim[:, :, None, :].astype(x.dtype)  # broadcast over spatial axis
 
+        block_cls = nn.remat(DividedBlock) if cfg.remat else DividedBlock
         for i in range(cfg.depth):
-            x = DividedBlock(
+            x = block_cls(
                 C,
                 cfg.num_heads,
                 cfg.mlp_ratio,
