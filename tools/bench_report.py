@@ -167,11 +167,13 @@ def bench_hdvila(quick=False):
          "ms": round(t * 1000, 1), "clips_per_s": round(b * clips / t, 1)}, flops, t, nbytes)
 
 
-def bench_clipvip_train(quick=False):
+def bench_clipvip_train(quick=False, variant="b32", batch=None):
     """Full pretrain step (fwd+bwd+grouped-AdamW) — the steps/sec metric.
 
     Chained by carrying (params, opt_state) through the scan — the same
     steady-state trajectory ``steps_per_call`` runs in production.
+    ``variant``: "b32" (reference pretrain config, batch 32/GPU) or "b16"
+    (the fine-tune/B-16 tower, batch 16).
     """
     import jax
     import jax.numpy as jnp
@@ -185,8 +187,10 @@ def bench_clipvip_train(quick=False):
     # remat off: rematerialization measured slower at these batches (b=32:
     # 188 vs 202 clips/s, b=64: 207 vs 241) and HBM has ample headroom; remat
     # stays available via the --gradient_checkpointing flag when memory-tight.
-    model = CLIPViPModel(CLIPVipConfig.base_patch32(dtype=jnp.bfloat16, remat=False))
-    b = 16 if quick else 32  # reference pretrain batch/GPU = 32
+    cfg_ctor = CLIPVipConfig.base_patch32 if variant == "b32" else CLIPVipConfig.base_patch16
+    model = CLIPViPModel(cfg_ctor(dtype=jnp.bfloat16, remat=False))
+    default_b = 32 if variant == "b32" else 16  # reference batch/GPU
+    b = batch or (default_b // 2 if quick else default_b)
     f, im, s = 12, 224, 70
     K = 3 if quick else 5
     ids = np.zeros((b, s), np.int64)
@@ -231,7 +235,8 @@ def bench_clipvip_train(quick=False):
     t = sorted(ts)[2] / K
     flops, nbytes = cost_of(run_k, *args)  # cost model counts the scan body once
     return with_mfu(
-        {"model": "CLIP-ViP B/32 TRAIN step (fwd+bwd+AdamW, scan-chained)", "batch": b,
+        {"model": "CLIP-ViP %s TRAIN step (fwd+bwd+AdamW, scan-chained)" % (
+            "B/32" if variant == "b32" else "B/16"), "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
