@@ -82,6 +82,13 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
         "full remat",
     )
     p.add_argument("--zero2", type=int, default=1, help="shard optimizer state over the mesh")
+    p.add_argument(
+        "--zero3", type=int, default=0,
+        help="ZeRO-3/FSDP: shard the params themselves (and their moments) "
+        "over the data axis (parallel/fsdp.py); composes with --tp. Per-chip "
+        "params+optimizer memory drops by the data-parallel degree, at the "
+        "cost of a param all-gather per step",
+    )
     p.add_argument("--async_checkpoint", type=int, default=0,
                    help="non-blocking orbax saves (next save surfaces prior errors)")
     p.add_argument(

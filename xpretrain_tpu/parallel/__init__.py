@@ -13,6 +13,12 @@ from xpretrain_tpu.parallel.pipeline import (
     stack_layer_params,
     unstack_layer_params,
 )
+from xpretrain_tpu.parallel.fsdp import (
+    fsdp_param_shardings,
+    fsdp_pspec,
+    fsdp_state_shardings,
+    resolve_shardings,
+)
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
     tp_param_shardings,
@@ -26,6 +32,10 @@ __all__ = [
     "batch_sharding",
     "create_mesh",
     "replicated_sharding",
+    "fsdp_param_shardings",
+    "fsdp_pspec",
+    "fsdp_state_shardings",
+    "resolve_shardings",
     "hybrid_state_shardings",
     "make_pipeline",
     "pipeline_param_shardings",

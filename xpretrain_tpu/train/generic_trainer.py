@@ -18,15 +18,11 @@ import numpy as np
 
 from xpretrain_tpu.optim import build_optimizer, get_schedule
 from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg as _moment_dtype
+from xpretrain_tpu.parallel.fsdp import resolve_shardings
 from xpretrain_tpu.parallel.mesh import mesh_from_config
-from xpretrain_tpu.parallel.tensor_parallel import (
-    hybrid_state_shardings,
-    tp_param_shardings,
-)
 from xpretrain_tpu.parallel.train_step import (
     TrainState,
     make_model_train_step,
-    zero2_state_shardings,
 )
 from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
 from xpretrain_tpu.train.loop import drive_train_loop
@@ -98,20 +94,9 @@ class GenericTrainer:
             moment_dtype=_moment_dtype(cfg),
         )
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
-        tp = int(cfg.get("tp", 1) or 1)
-        if tp > 1:
-            self.param_shardings = tp_param_shardings(self.init_params, self.mesh)
-            opt_shardings = hybrid_state_shardings(
-                self.tx, self.init_params, self.mesh,
-                min_size=16384 if cfg.get("zero2", True) else 1 << 62,
-            )
-        else:
-            self.param_shardings = None
-            opt_shardings = (
-                zero2_state_shardings(self.tx, self.init_params, self.mesh)
-                if cfg.get("zero2", True)
-                else None
-            )
+        self.param_shardings, opt_shardings = resolve_shardings(
+            cfg, self.tx, self.init_params, self.mesh
+        )
         self.steps_per_call = max(1, int(cfg.get("steps_per_call", 1)))
         self.train_step = make_model_train_step(
             apply_fn, self.tx, self.mesh, metric_keys=metric_keys,

@@ -27,16 +27,12 @@ from xpretrain_tpu.models.clip_vip import (
 from xpretrain_tpu.ops.losses import build_loss_fn
 from xpretrain_tpu.optim import build_optimizer, get_schedule
 from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg as _moment_dtype
+from xpretrain_tpu.parallel.fsdp import resolve_shardings
 from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
-from xpretrain_tpu.parallel.tensor_parallel import (
-    hybrid_state_shardings,
-    tp_param_shardings,
-)
 from xpretrain_tpu.parallel.train_step import (
     TrainState,
     make_eval_step,
     make_train_step,
-    zero2_state_shardings,
 )
 from xpretrain_tpu.train.checkpoints import BestModelSaver, CheckpointManager
 from xpretrain_tpu.train.evaluate import evaluate_retrieval
@@ -162,20 +158,9 @@ class ClipVipTrainer:
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
         loss_fn = build_loss_fn(cfg.get("loss_name", "NCELearnableTempLoss"))
-        tp = int(cfg.get("tp", 1) or 1)
-        if tp > 1:
-            self.param_shardings = tp_param_shardings(init_params, self.mesh)
-            opt_shardings = hybrid_state_shardings(
-                self.tx, init_params, self.mesh,
-                min_size=16384 if cfg.get("zero2", True) else 1 << 62,
-            )
-        else:
-            self.param_shardings = None
-            opt_shardings = (
-                zero2_state_shardings(self.tx, init_params, self.mesh)
-                if cfg.get("zero2", True)
-                else None
-            )
+        self.param_shardings, opt_shardings = resolve_shardings(
+            cfg, self.tx, init_params, self.mesh
+        )
         self.steps_per_call = max(1, int(cfg.get("steps_per_call", 1)))
         self.train_step = make_train_step(
             self._apply_train, self.tx, self.mesh, loss_fn,
