@@ -87,6 +87,30 @@ def test_batch_loader_epoch_shuffle():
     assert sorted(e0) == sorted(e1)
 
 
+def test_batch_loader_num_workers_matches_serial():
+    """The pooled decode path yields identical batches in identical order
+    (futures consumed in index order), including with slow/uneven items."""
+    import time
+
+    class SlowDataset:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            time.sleep(0.002 * (i % 3))  # uneven completion order
+            return i
+
+    collate = lambda items: np.asarray(items)
+    serial = list(BatchLoader(SlowDataset(), 8, collate, shuffle=True, seed=3))
+    pooled = list(
+        BatchLoader(SlowDataset(), 8, collate, shuffle=True, seed=3,
+                    num_workers=4, prefetch_batches=2)
+    )
+    assert len(serial) == len(pooled) == 5
+    for a, b in zip(serial, pooled):
+        assert np.array_equal(a, b)
+
+
 def test_sequential_eval_loader_order_and_padding():
     data = list(range(10))
     collate = lambda items: np.asarray(items)

@@ -29,7 +29,16 @@ import numpy as np
 
 
 class BatchLoader:
-    """Iterate a map-style dataset in seeded, optionally sharded batches."""
+    """Iterate a map-style dataset in seeded, optionally sharded batches.
+
+    ``num_workers > 1`` decodes items through a shared thread pool, pipelined
+    ``prefetch_batches`` ahead — the production-rate ingest path replacing the
+    reference's torch ``DataLoader(n_workers=4)`` decode processes
+    (``CLIP-ViP/src/datasets/dataloader.py:65-157``). Threads suffice on a TPU
+    host because the native reader's ctypes calls release the GIL during
+    libav decode (``data/video_reader.py``); batch order is identical to the
+    serial path (futures are consumed in index order).
+    """
 
     def __init__(
         self,
@@ -41,6 +50,8 @@ class BatchLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
+        prefetch_batches: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,6 +61,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
+        self.prefetch_batches = max(1, prefetch_batches)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -76,9 +89,40 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Any]:
         idx = self._indices()
-        for start in range(0, len(idx) - self.batch_size + 1, self.batch_size):
-            items = [self.dataset[int(i)] for i in idx[start : start + self.batch_size]]
-            yield self.collate_fn(items)
+        starts = range(0, len(idx) - self.batch_size + 1, self.batch_size)
+        if self.num_workers <= 1:
+            for start in starts:
+                items = [self.dataset[int(i)] for i in idx[start : start + self.batch_size]]
+                yield self.collate_fn(items)
+            return
+        yield from self._iter_pooled(idx, starts)
+
+    def _iter_pooled(self, idx: np.ndarray, starts: range) -> Iterator[Any]:
+        """Thread-pool item decode, pipelined ``prefetch_batches`` ahead."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+
+            def submit(start):
+                return [
+                    pool.submit(self.dataset.__getitem__, int(i))
+                    for i in idx[start : start + self.batch_size]
+                ]
+
+            pending: deque = deque()
+            it = iter(starts)
+            for _ in range(self.prefetch_batches):
+                start = next(it, None)
+                if start is None:
+                    break
+                pending.append(submit(start))
+            while pending:
+                futures = pending.popleft()
+                start = next(it, None)
+                if start is not None:
+                    pending.append(submit(start))
+                yield self.collate_fn([f.result() for f in futures])
 
 
 class SequentialEvalLoader:

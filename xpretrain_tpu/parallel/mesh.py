@@ -125,6 +125,12 @@ def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, leading_stack: bo
     PrefetchLoader H2D copy (``CLIP-ViP/src/datasets/dataloader.py:92-157``);
     async dispatch overlaps the transfer with the previous step's compute.
 
+    Single-process: ``batch`` is the global batch. Multi-process (a mesh
+    spanning processes): each process passes its *local* shard — the rows its
+    per-process ``BatchLoader(process_index=..)`` yielded — and the global
+    array is assembled process-locally (the reference's per-rank loader
+    feeding its own GPU, ``hd-vila/src/utils/distributed.py``).
+
     ``leading_stack=True``: the batch carries a leading steps-per-call K axis
     ([K, B, ...]); the *second* axis is the batch axis to shard.
     """
@@ -132,7 +138,13 @@ def shard_host_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, leading_stack: bo
         NamedSharding(mesh, P(None, axis)) if leading_stack else batch_sharding(mesh, axis)
     )
     min_ndim = 2 if leading_stack else 1
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) >= min_ndim else x,
-        batch,
-    )
+    multiprocess = jax.process_count() > 1
+
+    def put(x):
+        if getattr(x, "ndim", 0) < min_ndim:
+            return x
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

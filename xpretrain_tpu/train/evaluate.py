@@ -17,6 +17,21 @@ from xpretrain_tpu.utils.logging import LOGGER
 from xpretrain_tpu.utils.metrics import retrieval_report
 
 
+def _host_rows(x) -> np.ndarray:
+    """Fetch batch metadata (e.g. clip ids) to host, assembling the global
+    value when the array is sharded across processes (the multi-process
+    analogue of the reference's ``hvd.allgather`` on ids,
+    ``run_video_retrieval.py:137-138``). Process-tiled order matches the
+    data-axis shard order, so global row order is preserved."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def evaluate_multichoice_by_similarity(
     eval_step: Callable,
     params: Any,
@@ -72,7 +87,7 @@ def evaluate_retrieval(
         vis_chunks.append(np.asarray(out["vis_features"], dtype=np.float32))
         text_chunks.append(np.asarray(out["text_features"], dtype=np.float32))
         if "ids" in batch:
-            id_chunks.append(np.asarray(batch["ids"]))
+            id_chunks.append(_host_rows(batch["ids"]))
         n_clips += vis_chunks[-1].shape[0]
     wall = time.time() - start
     vis = np.concatenate(vis_chunks)
