@@ -30,6 +30,25 @@ import numpy as np  # noqa: E402
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (per chip)
 V5E_HBM_BPS = 819e9  # TPU v5e HBM bandwidth ceiling (bytes/s)
 
+# When set (by tools/profile_counters.py), every timed bench also runs ONE
+# extra iteration under jax.profiler.trace into TRACE_DIR/traceNN, so the
+# on-device op timings can be parsed into measured MXU/HBM utilization.
+TRACE_DIR = ""
+_TRACE_COUNT = [0]
+
+
+def _maybe_trace(run_once):
+    if not TRACE_DIR:
+        return None
+    import jax
+
+    d = os.path.join(TRACE_DIR, f"trace{_TRACE_COUNT[0]:02d}")
+    _TRACE_COUNT[0] += 1
+    os.makedirs(d, exist_ok=True)
+    with jax.profiler.trace(d):
+        run_once()
+    return d
+
 
 def cost_of(jitted, *args) -> tuple[float, float]:
     """(analytic FLOPs, bytes accessed) of a jitted callable on example args."""
@@ -82,6 +101,7 @@ def scan_timed(body, args, K, warmup=1, iters=5):
         float(run_k(jnp.float32(i + 1), *args))
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[len(ts) // 2] / K
+    _maybe_trace(lambda: float(run_k(jnp.float32(7), *args)))
     # XLA cost_analysis counts the while-loop body ONCE (verified against
     # the analytic per-step FLOPs of the unrolled forward), so no /K here.
     flops, nbytes = cost_of(run_k, jnp.float32(0), *args)
@@ -233,6 +253,7 @@ def bench_clipvip_train(quick=False, variant="b32", batch=None):
         float(run_k(*args))
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[2] / K
+    _maybe_trace(lambda: float(run_k(*args)))
     flops, nbytes = cost_of(run_k, *args)  # cost model counts the scan body once
     return with_mfu(
         {"model": "CLIP-ViP %s TRAIN step (fwd+bwd+AdamW, scan-chained)" % (
@@ -272,6 +293,13 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
         float(loss)
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[len(ts) // 2] / K
+
+    def _one():
+        nonlocal ps, os_
+        ps, os_, loss = run_k(ps, os_, *batch_args)
+        float(loss)
+
+    _maybe_trace(_one)
     return t, flops, nbytes
 
 
