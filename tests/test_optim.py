@@ -224,3 +224,108 @@ def test_moment_dtype_requires_fused():
     sched = get_schedule("constant", 1e-2, 10)
     with pytest.raises(ValueError, match="fused"):
         build_optimizer(params, sched, fused=False, moment_dtype=jnp.bfloat16)
+
+
+def test_cast_params_for_storage():
+    from xpretrain_tpu.optim import cast_params_for_storage, param_dtype_from_cfg
+
+    assert param_dtype_from_cfg({"param_dtype": "bf16"}) == jnp.bfloat16
+    assert param_dtype_from_cfg({}) is None
+    tree = {
+        "w": jnp.ones((4, 4)),
+        "b": jnp.ones((4,)),
+        "scalar": jnp.ones(()),
+        "ids": jnp.ones((3, 3), jnp.int32),
+    }
+    cast = cast_params_for_storage(tree, jnp.bfloat16)
+    assert cast["w"].dtype == jnp.bfloat16  # big matrices reduced
+    assert cast["b"].dtype == jnp.float32  # 1-D stays full precision
+    assert cast["scalar"].dtype == jnp.float32
+    assert cast["ids"].dtype == jnp.int32  # non-float untouched
+
+
+def test_master_weights_exact_fp32_trajectory_and_invariant():
+    """bf16 stored params + fp32 masters: the master trajectory is
+    bit-identical to a pure-fp32 run fed the same gradients, and the stored
+    params track ``bf16(master)`` exactly (no round-off drift)."""
+    from xpretrain_tpu.optim import cast_params_for_storage, master_weights
+
+    params32 = _params()
+    sched = get_schedule("constant", 1e-2, 100)
+    params16 = cast_params_for_storage(params32, jnp.bfloat16)
+    # fp32 baseline starts from the SAME (bf16-rounded) values
+    base32 = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params16)
+
+    tx_inner, _ = build_optimizer(
+        params32, sched, weight_decay=0.01, max_grad_norm=1.0, fused=True
+    )
+    tx_mw = master_weights(tx_inner)
+
+    s_mw = tx_mw.init(params16)
+    s32 = tx_inner.init(base32)
+    # 1-D / scalar leaves stay fp32 and carry the empty sentinel master
+    assert s_mw.master["vision"]["bias"].size == 0
+    assert s_mw.master["logit_scale"].size == 0
+    assert s_mw.master["vision"]["kernel"].dtype == jnp.float32
+
+    p16, p32 = params16, base32
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        g16 = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), p.dtype), p16
+        )
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), g16)
+        u16, s_mw = tx_mw.update(g16, s_mw, p16)
+        u32, s32 = tx_inner.update(g32, s32, p32)
+        p16 = optax.apply_updates(p16, u16)
+        p32 = optax.apply_updates(p32, u32)
+
+    masters = jax.tree_util.tree_map(
+        lambda m, p: p.astype(jnp.float32) if m.size == 0 else m, s_mw.master, p16
+    )
+    for m, b, stored in zip(
+        jax.tree_util.tree_leaves(masters),
+        jax.tree_util.tree_leaves(p32),
+        jax.tree_util.tree_leaves(p16),
+    ):
+        # masters follow the fp32 baseline exactly (identical fp32 math)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(b))
+        # stored params are exactly the rounded masters — the no-drift invariant
+        np.testing.assert_array_equal(
+            np.asarray(stored), np.asarray(m.astype(stored.dtype))
+        )
+    assert p16["vision"]["kernel"].dtype == jnp.bfloat16
+    assert p16["vision"]["bias"].dtype == jnp.float32
+
+
+def test_master_weights_frozen_and_grad_accum():
+    """master_weights composes with frozen groups and MultiSteps accum."""
+    from xpretrain_tpu.optim import cast_params_for_storage, master_weights
+
+    params32 = _params()
+    sched = get_schedule("constant", 1e-2, 100)
+    tx_inner, _ = build_optimizer(
+        params32, sched, weight_decay=0.0, max_grad_norm=None,
+        frozen_patterns=("cnn",), grad_accum_steps=2, fused=True,
+    )
+    tx = master_weights(tx_inner)
+    p = cast_params_for_storage(params32, jnp.bfloat16)
+    s = tx.init(p)
+    ones = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), p)
+
+    u1, s = tx.update(ones, s, p)
+    p_mid = optax.apply_updates(p, u1)
+    # first microbatch: accumulation only, no param movement
+    for a, b in zip(jax.tree_util.tree_leaves(p_mid), jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    u2, s = tx.update(ones, s, p_mid)
+    p_done = optax.apply_updates(p_mid, u2)
+    # second microbatch applies the update...
+    assert not np.allclose(
+        np.asarray(p_done["vision"]["kernel"]), np.asarray(p["vision"]["kernel"])
+    )
+    # ...except to frozen leaves
+    np.testing.assert_array_equal(
+        np.asarray(p_done["cnn"]["conv"]["kernel"]),
+        np.asarray(p["cnn"]["conv"]["kernel"]),
+    )

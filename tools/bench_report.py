@@ -304,7 +304,7 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
 
 
 def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
-                       moment_dtype=None):
+                       moment_dtype=None, param_dtype=None):
     """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
     + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
     4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;
@@ -338,6 +338,13 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
         no_decay_patterns=NO_DECAY_LFVILA, max_grad_norm=1.0,
         moment_dtype=moment_dtype,
     )
+    if param_dtype is not None:
+        # bf16 param storage for fwd/bwd + fp32 masters in the opt state
+        # (the r3-verdict byte-budget lever; see optim.master_weights)
+        from xpretrain_tpu.optim import cast_params_for_storage, master_weights
+
+        params = cast_params_for_storage(params, param_dtype)
+        tx = master_weights(tx)
 
     def apply_loss(p, video, ids, mask):
         out = model.apply(
@@ -350,6 +357,8 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
     tag = " remat" if remat else ""
     if moment_dtype is not None:
         tag += " bf16-moments"
+    if param_dtype is not None:
+        tag += " bf16-params"
     return with_mfu(
         {"model": f"LF-VILA stage-1 TRAIN step (Swin3D+BERT-L+ITC/MTC{tag})", "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)

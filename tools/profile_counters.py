@@ -52,7 +52,14 @@ BENCHES = {
     "lfvila_train_bf16m": (bench_report.bench_lfvila_train,
                            {"remat": True, "remat_policy": "dots_saveable",
                             "moment_dtype": "bfloat16"}),
-    "hdvila_train_s2": (bench_report.bench_hdvila_train_stage2, {}),
+    # the r3-verdict #6 lever: bf16 param storage + fp32 masters, composed
+    # with the best-known single-chip recipe (full remat fits; the saved-dots
+    # policies need the bf16-moment headroom and are probed separately)
+    "lfvila_train_bf16p": (bench_report.bench_lfvila_train,
+                           {"remat": True, "moment_dtype": "bfloat16",
+                            "param_dtype": "bfloat16"}),
+    "hdvila_train_s2": (bench_report.bench_hdvila_train_stage2, {"batch": 8}),
+    "hdvila_train_s2_b16": (bench_report.bench_hdvila_train_stage2, {}),
     "lfvila_train_s2": (bench_report.bench_lfvila_train_stage2, {}),
 }
 

@@ -56,6 +56,13 @@ def build_shared_parser(desc: str = "xpretrain_tpu runner") -> argparse.Argument
                         "frees half the moment HBM (~1.8 GB at LF-VILA scale);\n"
                         "accumulation still runs in fp32. Keep consistent across\n"
                         "resume: the checkpointed state carries the dtype")
+    p.add_argument("--param_dtype", type=str, default="fp32", choices=["fp32", "bf16"],
+                   help="parameter STORAGE dtype for fwd/bwd (apex-O2 inverted:\n"
+                        "bf16 stored params + fp32 master copies in the optimizer\n"
+                        "state; halves param/grad HBM traffic in fwd/bwd). The\n"
+                        "update itself runs in fp32 on the masters. Keep\n"
+                        "consistent across resume: the checkpointed state layout\n"
+                        "carries the master copies")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused into one dispatch via lax.scan "
                         "(amortizes host dispatch; see PERF.md)")

@@ -16,7 +16,7 @@ DeepSpeed ZeRO-2 partitioning.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping, Sequence
+from typing import Any, Callable, Mapping, NamedTuple, Sequence
 
 import jax
 import optax
@@ -162,6 +162,106 @@ def fused_grouped_adamw(
         return unflatten(upd), new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class MasterWeightsState(NamedTuple):
+    """State for :func:`master_weights`: fp32 masters + wrapped-opt state."""
+
+    master: Any
+    inner: Any
+
+
+def master_weights(
+    tx: optax.GradientTransformation, master_dtype: Any = None
+) -> optax.GradientTransformation:
+    """Reduced-precision parameter storage with fp32 master copies.
+
+    The TPU analogue of apex O2's master weights
+    (``run_pretrain.py:234-236``; master-grad clip ``:408-411``), inverted
+    for bf16: the *model* params — the copies the fwd/bwd reads from HBM
+    every step (twice more under remat) — are stored in bf16, while the
+    optimizer updates full-precision fp32 masters kept in its state. Each
+    update runs ``tx`` (clip + grouped AdamW) on the masters in fp32, then
+    emits the delta that lands the stored params exactly on
+    ``bf16(new_master)``, so there is no accumulated round-off drift between
+    the two copies: ``params == master.astype(param_dtype)`` is an invariant.
+
+    Leaves whose params already match ``master_dtype`` (small fp32 leaves
+    kept full-precision by :func:`cast_params_for_storage`) carry an empty
+    sentinel master — the param itself is the master — so no memory is
+    spent duplicating them.
+
+    Gradients arrive in the params' (reduced) dtype and are upcast before
+    ``tx`` sees them: clipping, moments and weight decay all run in fp32,
+    matching the reference's master-param semantics.
+    """
+    import jax.numpy as jnp
+
+    mdt = master_dtype or jnp.float32
+
+    def init_fn(params):
+        mat = jax.tree_util.tree_map(lambda p: p.astype(mdt), params)
+
+        def master(p, full):
+            if p.dtype == mdt or not jnp.issubdtype(p.dtype, jnp.floating):
+                return jnp.zeros((0,), mdt)  # sentinel: param is its own master
+            return full
+
+        m = jax.tree_util.tree_map(master, params, mat)
+        return MasterWeightsState(master=m, inner=tx.init(mat))
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("master_weights requires params")
+        mat = jax.tree_util.tree_map(
+            lambda m, p: p.astype(mdt) if m.size == 0 else m, state.master, params
+        )
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(mdt), grads)
+        updates, inner = tx.update(g32, state.inner, mat)
+        new_master = optax.apply_updates(mat, updates)
+        # emit deltas in fp32; optax.apply_updates computes (p + u) in fp32
+        # and casts back, landing exactly on param_dtype(new_master)
+        param_updates = jax.tree_util.tree_map(
+            lambda nm, p: nm.astype(p.dtype).astype(mdt) - p.astype(mdt), new_master, params
+        )
+        keep = jax.tree_util.tree_map(
+            lambda m, nm: m if m.size == 0 else nm, state.master, new_master
+        )
+        return param_updates, MasterWeightsState(master=keep, inner=inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def cast_params_for_storage(params: Any, dtype: Any, min_ndim: int = 2) -> Any:
+    """Cast the big float leaves to a reduced storage dtype (see
+    :func:`master_weights`). 1-D leaves — biases, norm scales, ``logit_scale``
+    — stay fp32: they are a negligible byte fraction and norm statistics are
+    the classic bf16 precision hazard."""
+    import jax.numpy as jnp
+
+    def cast(leaf):
+        if (
+            hasattr(leaf, "dtype")
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and getattr(leaf, "ndim", 0) >= min_ndim
+        ):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def param_dtype_from_cfg(cfg: Mapping) -> Any:
+    """Resolve the ``param_dtype`` config key ("fp32"/"bf16") to a storage
+    dtype for :func:`cast_params_for_storage`; None means keep fp32."""
+    import jax.numpy as jnp
+
+    name = str(cfg.get("param_dtype", "fp32") or "fp32").lower()
+    if name in ("fp32", "float32", "none", ""):
+        return None
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported param_dtype {name!r} (use fp32 or bf16)")
 
 
 def moment_dtype_from_cfg(cfg: Mapping) -> Any:

@@ -26,7 +26,12 @@ from xpretrain_tpu.models.clip_vip import (
 )
 from xpretrain_tpu.ops.losses import build_loss_fn
 from xpretrain_tpu.optim import build_optimizer, get_schedule
-from xpretrain_tpu.optim.optimizer import moment_dtype_from_cfg as _moment_dtype
+from xpretrain_tpu.optim.optimizer import (
+    cast_params_for_storage,
+    master_weights,
+    moment_dtype_from_cfg as _moment_dtype,
+    param_dtype_from_cfg as _param_dtype,
+)
 from xpretrain_tpu.parallel.fsdp import resolve_shardings
 from xpretrain_tpu.parallel.mesh import mesh_from_config, shard_host_batch
 from xpretrain_tpu.parallel.train_step import (
@@ -155,6 +160,13 @@ class ClipVipTrainer:
             fused=fused,
             moment_dtype=_moment_dtype(cfg),
         )
+        pd = _param_dtype(cfg)
+        if pd is not None:
+            # --param_dtype bf16: store fwd/bwd params reduced-precision with
+            # fp32 masters inside the optimizer state (optim.master_weights)
+            self.init_params = cast_params_for_storage(self.init_params, pd)
+            init_params = self.init_params
+            self.tx = master_weights(self.tx)
         self.num_train_steps = num_steps * int(cfg.get("gradient_accumulation_steps", 1))
 
         loss_fn = build_loss_fn(cfg.get("loss_name", "NCELearnableTempLoss"))
