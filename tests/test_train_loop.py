@@ -210,6 +210,64 @@ def test_checkpoint_optimizer_layout_detection(tmp_path, saved_fused):
         mgr.restore(_opt_state_for(fused=not saved_fused))
 
 
+def test_checkpoint_frozen_fused_state_roundtrip(tmp_path):
+    """Frozen-pattern fused optimizer state must checkpoint: frozen leaves
+    carry scalar placeholder moments — orbax refuses zero-size arrays, so a
+    shape-(0,) placeholder would make every --frozen run (e.g. HD-VILA
+    stage 2) fail at its first save."""
+    from xpretrain_tpu.optim import build_optimizer
+    from xpretrain_tpu.parallel.train_step import TrainState
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    params = {"enc": {"kernel": np.ones((8, 8), np.float32)},
+              "head": {"kernel": np.ones((8, 4), np.float32)}}
+    tx, _ = build_optimizer(params, lambda s: 1e-3, weight_decay=0.1,
+                            fused=True, frozen_patterns=("enc",))
+    state = jax.tree_util.tree_map(np.asarray, TrainState.create(params, tx))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, force=True)
+    restored = mgr.restore(state)
+    assert restored is not None
+    np.testing.assert_array_equal(
+        restored.params["head"]["kernel"], state.params["head"]["kernel"])
+
+
+def _opt_state_master(param_dtype_bf16: bool):
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.optim import (
+        build_optimizer,
+        cast_params_for_storage,
+        master_weights,
+    )
+    from xpretrain_tpu.parallel.train_step import TrainState
+
+    params = {"dense": {"kernel": np.ones((8, 8), np.float32), "bias": np.zeros((8,), np.float32)}}
+    tx, _ = build_optimizer(params, lambda s: 1e-3, weight_decay=0.1, fused=True)
+    if param_dtype_bf16:
+        params = cast_params_for_storage(params, jnp.bfloat16)
+        tx = master_weights(tx)
+    return jax.tree_util.tree_map(np.asarray, TrainState.create(params, tx))
+
+
+@pytest.mark.parametrize("saved_master", [False, True])
+def test_checkpoint_master_weights_layout_detection(tmp_path, saved_master):
+    """Resuming across a --param_dtype change must raise a targeted error
+    naming the flag: master_weights wraps the opt state in a
+    MasterWeightsState whose tree structure a plain restore can't adopt."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, _opt_state_master(saved_master), force=True)
+    assert mgr.saved_uses_master_layout() is saved_master
+
+    ok = mgr.restore(_opt_state_master(saved_master))
+    assert ok is not None and int(ok.step) == 0
+
+    with pytest.raises(RuntimeError, match="--param_dtype"):
+        mgr.restore(_opt_state_master(not saved_master))
+
+
 def test_generic_trainer_adapts_fused_layout_on_resume(tmp_path):
     """GenericTrainer must follow the checkpoint's optimizer-state layout
     instead of failing when the configured --fused_adamw differs."""

@@ -405,11 +405,18 @@ def bench_hdvila_train(quick=False, batch=None, remat=False):
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
-def bench_hdvila_train_stage2(quick=False, batch=None, remat=False):
+def bench_hdvila_train_stage2(quick=False, batch=None, remat=False, grad_accum=1):
     """HD-VILA stage-2 pretrain step: MLM over the fused tower, stage-1
     modules frozen (recipe ``configs/presets/hdvila_pretrain_stage2.json``
     mirroring ``hd-vila/src/configs/pretrain_stage2.json``: batch 16/chip,
-    use_itm 0, lse clip agg, pixel random sampling 160)."""
+    use_itm 0, lse clip agg, pixel random sampling 160).
+
+    ``grad_accum=2, batch=8`` measures the production stand-in for the
+    reference b=16 recipe on this chip (the true b=16 step dies in the
+    reproducible ``tpu_compile_helper`` infra crash — PERF.md): each scan
+    update is one MultiSteps microbatch; the reported row is per *effective*
+    b=16 optimizer step (2 updates). Trajectory equivalence to a true b=16
+    step is asserted on CPU in ``tests/test_grad_accum_equivalence.py``."""
     import jax
     import jax.numpy as jnp
 
@@ -442,7 +449,7 @@ def bench_hdvila_train_stage2(quick=False, batch=None, remat=False):
     ) + tuple(f"layer_{i}/" for i in range(12))
     tx, _ = build_optimizer(
         params, get_schedule("linear", 5e-5, 100000), weight_decay=1e-3,
-        max_grad_norm=5.0, frozen_patterns=frozen,
+        max_grad_norm=5.0, frozen_patterns=frozen, grad_accum_steps=grad_accum,
     )
 
     def apply_loss(p, middle, other, ids, mask, mlm):
@@ -452,12 +459,19 @@ def bench_hdvila_train_stage2(quick=False, batch=None, remat=False):
         )
         return out["loss"].astype(jnp.float32)
 
-    K = 2 if quick else 4
+    K = (2 if quick else 4) * grad_accum
     t, flops, nbytes = _train_scan_bench(
         apply_loss, params, (middle, other, ids, mask, mlm), tx, K)
+    # report per effective optimizer step (grad_accum microbatch updates)
+    t, flops, nbytes = t * grad_accum, flops * grad_accum, nbytes * grad_accum
+    tag = ", remat" if remat else ""
+    if grad_accum > 1:
+        tag += f", accum {grad_accum}x{b}"
     return with_mfu(
-        {"model": "HD-VILA stage-2 TRAIN step (MLM, stage-1 frozen%s)" % (", remat" if remat else ""), "batch": b,
-         "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
+        {"model": "HD-VILA stage-2 TRAIN step (MLM, stage-1 frozen%s)" % tag,
+         "batch": b * grad_accum,
+         "ms": round(t * 1000, 1), "clips_per_s": round(b * grad_accum / t, 1)},
+        flops, t, nbytes)
 
 
 def bench_lfvila_train_stage2(quick=False, batch=None, remat=True):

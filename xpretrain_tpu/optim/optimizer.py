@@ -80,9 +80,9 @@ def fused_grouped_adamw(
     step the two are the same speed — XLA fuses the optax composition to the
     same single-traversal code (PERF.md) — so the wins here are structural:
     a flat ``ScaleByAdamState`` (count, mu, nu) that checkpoints and shards
-    without masked-wrapper nesting, and frozen leaves carrying empty
-    (size-0) moments instead of full-size masked state, the memory analogue
-    of ``optax.set_to_zero``'s stateless group.
+    without masked-wrapper nesting, and frozen leaves carrying scalar
+    placeholder moments instead of full-size masked state, the memory
+    analogue of ``optax.set_to_zero``'s stateless group.
 
     ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores the Adam moments in a
     reduced dtype — at LF-VILA scale (≈450 M params) bf16 moments free
@@ -104,7 +104,9 @@ def fused_grouped_adamw(
     def init_fn(params):
         def moment(label, p):
             dt = moment_dtype or p.dtype
-            return jnp.zeros((0,), dt) if label == "frozen" else jnp.zeros_like(p, dtype=dt)
+            # frozen leaves carry scalar placeholder moments: ~zero memory,
+            # and (unlike shape-(0,) arrays) orbax can checkpoint them
+            return jnp.zeros((), dt) if label == "frozen" else jnp.zeros_like(p, dtype=dt)
 
         mu = jax.tree_util.tree_map(moment, labels, params)
         return optax.ScaleByAdamState(
@@ -187,9 +189,9 @@ def master_weights(
     the two copies: ``params == master.astype(param_dtype)`` is an invariant.
 
     Leaves whose params already match ``master_dtype`` (small fp32 leaves
-    kept full-precision by :func:`cast_params_for_storage`) carry an empty
-    sentinel master — the param itself is the master — so no memory is
-    spent duplicating them.
+    kept full-precision by :func:`cast_params_for_storage`) carry a scalar
+    placeholder master — the param itself is the master — so no memory is
+    spent duplicating them and the state stays orbax-checkpointable.
 
     Gradients arrive in the params' (reduced) dtype and are upcast before
     ``tx`` sees them: clipping, moments and weight decay all run in fp32,
@@ -199,22 +201,26 @@ def master_weights(
 
     mdt = master_dtype or jnp.float32
 
+    def needs_master(p) -> bool:
+        # static on the param's dtype: reduced-precision float leaves carry a
+        # real fp32 master; leaves already in mdt (and int leaves) are their
+        # own master and carry a scalar placeholder — ~zero bytes, and (unlike
+        # shape-(0,) arrays) orbax can checkpoint it
+        return jnp.issubdtype(p.dtype, jnp.floating) and p.dtype != mdt
+
     def init_fn(params):
         mat = jax.tree_util.tree_map(lambda p: p.astype(mdt), params)
-
-        def master(p, full):
-            if p.dtype == mdt or not jnp.issubdtype(p.dtype, jnp.floating):
-                return jnp.zeros((0,), mdt)  # sentinel: param is its own master
-            return full
-
-        m = jax.tree_util.tree_map(master, params, mat)
+        m = jax.tree_util.tree_map(
+            lambda p, full: full if needs_master(p) else jnp.zeros((), mdt),
+            params, mat,
+        )
         return MasterWeightsState(master=m, inner=tx.init(mat))
 
     def update_fn(grads, state, params):
         if params is None:
             raise ValueError("master_weights requires params")
         mat = jax.tree_util.tree_map(
-            lambda m, p: p.astype(mdt) if m.size == 0 else m, state.master, params
+            lambda m, p: m if needs_master(p) else p.astype(mdt), state.master, params
         )
         g32 = jax.tree_util.tree_map(lambda g: g.astype(mdt), grads)
         updates, inner = tx.update(g32, state.inner, mat)
@@ -225,7 +231,8 @@ def master_weights(
             lambda nm, p: nm.astype(p.dtype).astype(mdt) - p.astype(mdt), new_master, params
         )
         keep = jax.tree_util.tree_map(
-            lambda m, nm: m if m.size == 0 else nm, state.master, new_master
+            lambda m, nm, p: nm if needs_master(p) else m,
+            state.master, new_master, params,
         )
         return param_updates, MasterWeightsState(master=keep, inner=inner)
 

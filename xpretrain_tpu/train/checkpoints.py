@@ -131,32 +131,44 @@ class CheckpointManager:
         checkpoints written before ``--fused_adamw`` defaulted to 1 without
         the operator having to know the flag (advisor r2, medium).
         """
-        step = step if step is not None else self.latest_step()
-        if step is None:
-            return None
         # Read the saved tree structure from orbax's on-disk _METADATA json
         # (item_metadata() returns None until a restore handler is
         # registered, so it cannot be used before the first restore).
-        meta = ""
-        for name in ("default", "state"):
-            path = os.path.join(self.directory, str(step), name, "_METADATA")
-            if os.path.exists(path):
-                try:
-                    with open(path) as f:
-                        meta = f.read()
-                except OSError:
-                    pass
-                break
-        if not meta:
-            try:
-                meta = str(self._mgr.item_metadata(step))
-            except Exception:  # noqa: BLE001 - older layouts/partial writes
-                return None
+        meta = self._read_meta(step)
+        if meta is None:
+            return None
         if "opt_state" not in meta:
             return None  # params-only checkpoint (e.g. BestModelSaver)
         # multi_transform state carries an 'inner_states' mapping; the flat
         # fused ScaleByAdamState does not (even under MultiSteps wrapping).
         return "inner_states" not in meta
+
+    def saved_uses_master_layout(self, step: int | None = None) -> bool | None:
+        """True if the saved opt state carries ``master_weights`` fp32 master
+        copies (``--param_dtype bf16`` runs; MasterWeightsState's ``master``
+        field is the on-disk marker), None when indeterminable."""
+        meta = self._read_meta(step)
+        if meta is None or "opt_state" not in meta:
+            return None
+        return "'master'" in meta or '"master"' in meta
+
+    def _read_meta(self, step: int | None = None) -> str | None:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        for name in ("default", "state"):
+            path = os.path.join(self.directory, str(step), name, "_METADATA")
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        return f.read()
+                except OSError:
+                    pass
+                break
+        try:
+            return str(self._mgr.item_metadata(step))
+        except Exception:  # noqa: BLE001 - older layouts/partial writes
+            return None
 
     @staticmethod
     def _template_uses_fused_layout(state_template: Any) -> bool | None:
@@ -187,6 +199,30 @@ class CheckpointManager:
         except Exception:  # noqa: BLE001
             return None
 
+    @staticmethod
+    def _template_uses_master_layout(state_template: Any) -> bool | None:
+        """Whether the CURRENT run's opt state carries ``master_weights``
+        masters (``--param_dtype bf16``); None when indeterminable."""
+        def has_master(obj) -> bool:
+            if hasattr(obj, "_fields"):
+                return "master" in obj._fields or any(
+                    has_master(getattr(obj, f)) for f in obj._fields
+                )
+            if isinstance(obj, (list, tuple)):
+                return any(has_master(x) for x in obj)
+            return False
+
+        try:
+            if isinstance(state_template, dict):
+                opt_state = state_template.get("opt_state")
+            else:
+                opt_state = getattr(state_template, "opt_state", None)
+            if opt_state is None:
+                return None
+            return has_master(opt_state)
+        except Exception:  # noqa: BLE001
+            return None
+
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:
@@ -198,6 +234,20 @@ class CheckpointManager:
             # current optimizer-state layouts demonstrably differ — a shape
             # mismatch from a model-config change or a corrupt step must
             # surface as itself, not as wrong flag advice (r3 advisor).
+            saved_master = self.saved_uses_master_layout(step)
+            template_master = self._template_uses_master_layout(state_template)
+            if (
+                saved_master is not None
+                and template_master is not None
+                and saved_master != template_master
+            ):
+                raise RuntimeError(
+                    f"checkpoint at step {step} in {self.directory} was written "
+                    f"{'WITH' if saved_master else 'WITHOUT'} --param_dtype bf16 "
+                    f"(master-weights optimizer-state layout), which does not match "
+                    f"this run. Pass --param_dtype {'bf16' if saved_master else 'fp32'} "
+                    f"to resume it."
+                ) from e
             saved_fused = self.saved_uses_fused_layout(step)
             template_fused = self._template_uses_fused_layout(state_template)
             if (
