@@ -181,6 +181,26 @@ def test_sync_checkpoint_save_bounded_retry(tmp_path, monkeypatch):
     assert calls["n"] == 2 and mgr.latest_step() == 1
 
 
+def test_sync_checkpoint_save_structural_error_fails_fast(tmp_path, monkeypatch):
+    """A deterministic structural rejection (orbax ValueError, e.g. an
+    unsaveable leaf) must raise immediately instead of burning the full
+    retry/backoff budget on the same error."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), retries=5)
+    calls = {"n": 0}
+
+    def rejecting_save(step, args=None, force=False):
+        calls["n"] += 1
+        raise ValueError("Cannot save arrays with zero size")
+
+    monkeypatch.setattr(mgr._mgr, "save", rejecting_save)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="checkpoint save rejected"):
+        mgr.save(1, {"w": np.ones(4, np.float32)})
+    assert calls["n"] == 1
+
+
 def _opt_state_for(fused: bool):
     from xpretrain_tpu.optim import build_optimizer
     from xpretrain_tpu.parallel.train_step import TrainState

@@ -47,20 +47,39 @@ BENCHES = {
     "hdvila_enc": (bench_report.bench_hdvila, {}),
     "lfvila_enc": (bench_report.bench_lfvila, {}),
     "hdvila_train": (bench_report.bench_hdvila_train, {}),
-    "lfvila_train": (bench_report.bench_lfvila_train,
-                     {"remat": True, "remat_policy": "dots_saveable"}),
+    # the PERF.md headline configs: full remat + fp32 (712 ms row); the
+    # dots_saveable policy fits single-chip ONLY with bf16 moments (681 ms
+    # row) — with fp32 moments it ResourceExhausts (PERF.md "Selective remat")
+    "lfvila_train": (bench_report.bench_lfvila_train, {"remat": True}),
     "lfvila_train_bf16m": (bench_report.bench_lfvila_train,
                            {"remat": True, "remat_policy": "dots_saveable",
                             "moment_dtype": "bfloat16"}),
-    # the r3-verdict #6 lever: bf16 param storage + fp32 masters, composed
-    # with the best-known single-chip recipe (full remat fits; the saved-dots
-    # policies need the bf16-moment headroom and are probed separately)
+    # the r3-verdict #6 lever: bf16 param storage + fp32 masters. A/B pairs:
+    # full-remat bf16 moments with vs without bf16 params, and bf16 params
+    # composed with the saved-dots policy (the freed param bytes may give the
+    # policy the headroom it needs)
+    "lfvila_train_bf16m_full": (bench_report.bench_lfvila_train,
+                                {"remat": True, "moment_dtype": "bfloat16"}),
     "lfvila_train_bf16p": (bench_report.bench_lfvila_train,
                            {"remat": True, "moment_dtype": "bfloat16",
                             "param_dtype": "bfloat16"}),
+    "lfvila_train_bf16pm_dots": (bench_report.bench_lfvila_train,
+                                 {"remat": True, "remat_policy": "dots_saveable",
+                                  "moment_dtype": "bfloat16",
+                                  "param_dtype": "bfloat16"}),
     "hdvila_train_s2": (bench_report.bench_hdvila_train_stage2, {"batch": 8}),
     "hdvila_train_s2_b16": (bench_report.bench_hdvila_train_stage2, {}),
+    # the r3-verdict #5 stand-in for the uncompilable b=16 recipe: 2 MultiSteps
+    # microbatches of 8 per optimizer step (trajectory equivalence asserted in
+    # tests/test_grad_accum_equivalence.py)
+    "hdvila_train_s2_accum": (bench_report.bench_hdvila_train_stage2,
+                              {"batch": 8, "grad_accum": 2}),
     "lfvila_train_s2": (bench_report.bench_lfvila_train_stage2, {}),
+    # workaround probe for the 2026-08-19 compile-helper crash on the remat
+    # variant: stage 2 stop-gradients the frozen encoders, so the no-remat
+    # activation footprint may fit b=8 outright
+    "lfvila_train_s2_noremat": (bench_report.bench_lfvila_train_stage2,
+                                {"remat": False}),
 }
 
 
@@ -104,6 +123,29 @@ def parse_op_profile(trace_dir: str, top_n: int = 12) -> dict | None:
             ops.append({"name": g.get("name", "?"), "category": cat.get("name", "?"), **m})
     busy_ps = max(total["time_ps"] - idle_ps, 1.0)
     busy_s = busy_ps / 1e12
+    # aggregate by XLA op category — the byte-budget audit wants op *classes*
+    # (window attention convs, gemms, copies, optimizer loop fusions), not a
+    # top-N that covers a sliver of a long-tailed step
+    cats: dict[str, dict] = {}
+    for o in ops:
+        c = cats.setdefault(o["category"], {"time_ps": 0.0, "hbm_bytes": 0.0, "flops": 0.0})
+        c["time_ps"] += o["time_ps"]
+        c["hbm_bytes"] += o["hbm_bytes"]
+        c["flops"] += o["flops"]
+    by_category = [
+        {
+            "category": k,
+            "time_ms": round(c["time_ps"] / 1e9, 2),
+            "time_pct_busy": round(100 * c["time_ps"] / busy_ps, 1),
+            "hbm_GB": round(c["hbm_bytes"] / 1e9, 2),
+            "hbm_pct_bytes": round(100 * c["hbm_bytes"] / max(total["hbm_bytes"], 1.0), 1),
+            "hbm_gbps": round(c["hbm_bytes"] / max(c["time_ps"] / 1e12, 1e-12) / 1e9, 1),
+            "mxu_pct": round(
+                100 * c["flops"] / max(c["time_ps"] / 1e12, 1e-12) / bench_report.V5E_PEAK_BF16, 1
+            ),
+        }
+        for k, c in sorted(cats.items(), key=lambda kv: -kv[1]["time_ps"])
+    ]
     ops.sort(key=lambda o: o["hbm_bytes"], reverse=True)
     top = [
         {
@@ -132,11 +174,21 @@ def parse_op_profile(trace_dir: str, top_n: int = 12) -> dict | None:
         "hbm_GB_total": round(total["hbm_bytes"] / 1e9, 2),
         "vmem_rd_gbps": round(total["vmem_rd"] / busy_s / 1e9, 0),
         "vmem_wr_gbps": round(total["vmem_wr"] / busy_s / 1e9, 0),
+        "by_category": by_category,
         "top_hbm_ops": top,
     }
 
 
 def run_bench_with_trace(name: str, quick: bool) -> dict:
+    # a full-chip bench (LF-VILA uses ~all 16 GB) must not inherit the
+    # previous bench's live executables/buffers: clear jit caches and
+    # collect, or later benches in a multi-bench run ResourceExhaust
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
     fn, kwargs = BENCHES[name]
     with tempfile.TemporaryDirectory() as td:
         bench_report.TRACE_DIR = td
@@ -177,6 +229,16 @@ def write_markdown(results: list[dict], path: str) -> None:
                 f"| {m['busy_ms']} | {m['idle_ms']} |\n"
             )
         for r in results:
+            if not r["measured"] or not r["measured"].get("by_category"):
+                continue
+            f.write(f"\n## {r['bench']} — byte budget by op class (per traced call)\n\n")
+            f.write("| op class | time ms | %busy | HBM GB | %bytes | HBM GB/s | MXU % |\n"
+                    "|---|---|---|---|---|---|---|\n")
+            for c in r["measured"]["by_category"]:
+                f.write(f"| {c['category']} | {c['time_ms']} | {c['time_pct_busy']} "
+                        f"| {c['hbm_GB']} | {c['hbm_pct_bytes']} | {c['hbm_gbps']} "
+                        f"| {c['mxu_pct']} |\n")
+        for r in results:
             if not r["measured"]:
                 continue
             f.write(f"\n## {r['bench']} — top HBM byte movers (per traced call)\n\n")
@@ -196,7 +258,14 @@ def main():
     ap.add_argument("--out", default="PERF_MEASURED.md")
     ap.add_argument("--json_out", default="")
     args = ap.parse_args()
-    results = [run_bench_with_trace(n, args.quick) for n in args.benches]
+    results = []
+    for n in args.benches:
+        try:
+            results.append(run_bench_with_trace(n, args.quick))
+        except Exception as e:  # noqa: BLE001 - one OOM must not kill the campaign
+            print(json.dumps({"bench": n, "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    results = [r for r in results if "analytic" in r]
     write_markdown(results, args.out)
     if args.json_out:
         with open(args.json_out, "w") as f:

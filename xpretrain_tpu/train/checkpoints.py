@@ -85,6 +85,11 @@ class CheckpointManager:
                     self._mgr.delete(step)
                 except Exception:  # noqa: BLE001 - nothing to delete
                     pass
+                if isinstance(e, (ValueError, TypeError)):
+                    # structural rejections (unsaveable leaf, bad tree) are
+                    # deterministic — retrying burns minutes of backoff on
+                    # the same error; only IO-ish failures get the retries
+                    raise RuntimeError(f"checkpoint save rejected: {e}") from e
                 time.sleep(min(2**attempt, 30))
         raise RuntimeError(f"checkpoint save failed after {self.retries} retries")
 
