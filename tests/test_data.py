@@ -111,6 +111,38 @@ def test_batch_loader_num_workers_matches_serial():
         assert np.array_equal(a, b)
 
 
+def test_batch_loader_abandoned_pool_cancels_queued_decodes():
+    """Closing a pooled iterator early cancels queued item decodes — an
+    abandoned loader must not keep churning decode work (or keep retrying
+    against a corpus the caller already deleted)."""
+    import threading
+    import time
+
+    calls = []
+    lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                calls.append(i)
+            time.sleep(0.02)
+            return i
+
+    collate = lambda items: np.asarray(items)
+    it = iter(
+        BatchLoader(CountingDataset(), 8, collate, shuffle=False,
+                    num_workers=2, prefetch_batches=4)
+    )
+    next(it)
+    it.close()  # consumer walks away mid-epoch
+    n_at_close = len(calls)
+    time.sleep(0.3)  # in-flight futures may finish; queued ones must not start
+    assert len(calls) <= n_at_close + 2, (n_at_close, len(calls))
+
+
 def test_sequential_eval_loader_order_and_padding():
     data = list(range(10))
     collate = lambda items: np.asarray(items)

@@ -102,7 +102,8 @@ class BatchLoader:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
 
             def submit(start):
                 return [
@@ -123,6 +124,12 @@ class BatchLoader:
                 if start is not None:
                     pending.append(submit(start))
                 yield self.collate_fn([f.result() for f in futures])
+        finally:
+            # abandoned generator (consumer broke out / islice / GC): drop the
+            # queued decode work instead of churning it in the background —
+            # submitted-but-unconsumed items otherwise keep decoding (and keep
+            # retrying against a corpus the caller may already have deleted)
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class SequentialEvalLoader:

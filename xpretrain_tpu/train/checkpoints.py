@@ -78,13 +78,20 @@ class CheckpointManager:
                 return
             except Exception as e:  # noqa: BLE001 - bounded retry like the reference
                 LOGGER.warning("checkpoint save attempt %d failed: %s", attempt, e)
-                # a partial/registered write of this step blocks the retry
-                # (orbax `force` skips the save-interval check, it does NOT
-                # overwrite an existing step) — clear it first
+                # a partial/registered/raced write of this step blocks the
+                # retry (orbax `force` skips the save-interval check, it does
+                # NOT overwrite an existing step) — clear it first
                 try:
                     self._mgr.delete(step)
                 except Exception:  # noqa: BLE001 - nothing to delete
                     pass
+                # orbax StepAlreadyExistsError subclasses ValueError but is
+                # NOT structural: it happens when a presumed-failed async
+                # write landed after all (the drain raised, the background
+                # finalize won the race) — the delete above cleared it, so
+                # retry immediately
+                if type(e).__name__ == "StepAlreadyExistsError":
+                    continue
                 if isinstance(e, (ValueError, TypeError)):
                     # structural rejections (unsaveable leaf, bad tree) are
                     # deterministic — retrying burns minutes of backoff on
