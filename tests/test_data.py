@@ -111,6 +111,39 @@ def test_batch_loader_num_workers_matches_serial():
         assert np.array_equal(a, b)
 
 
+def test_batch_loader_one_worker_is_pooled_not_serial():
+    """num_workers=1 means ONE background decode thread (torch DataLoader
+    semantics), not the serial inline path: items for upcoming batches are
+    decoded while the consumer holds the current one."""
+    import threading
+    import time
+
+    calls = []
+    lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            with lock:
+                calls.append(i)
+            return i
+
+    collate = lambda items: np.asarray(items)
+    it = iter(
+        BatchLoader(CountingDataset(), 4, collate, shuffle=False,
+                    num_workers=1, prefetch_batches=2)
+    )
+    first = next(it)
+    deadline = time.time() + 2.0
+    while len(calls) < 8 and time.time() < deadline:
+        time.sleep(0.01)  # background thread decodes ahead of the consumer
+    assert np.array_equal(first, np.arange(4))
+    assert len(calls) >= 8, calls  # batch 1 decoded while batch 0 is held
+    it.close()
+
+
 def test_batch_loader_abandoned_pool_cancels_queued_decodes():
     """Closing a pooled iterator early cancels queued item decodes — an
     abandoned loader must not keep churning decode work (or keep retrying

@@ -288,6 +288,68 @@ def test_checkpoint_master_weights_layout_detection(tmp_path, saved_master):
         mgr.restore(_opt_state_master(not saved_master))
 
 
+def test_checkpoint_empty_metadata_file_is_indeterminate(tmp_path):
+    """A crash mid-write can leave an existing but EMPTY _METADATA file;
+    layout detection must fall through (None / fallback), not conclude
+    'no opt_state' from the empty string."""
+    import os
+
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, _opt_state_for(fused=True), force=True)
+    assert mgr.saved_uses_fused_layout() is True
+    step_dir = os.path.join(mgr.directory, "1")
+    for name in ("default", "state"):
+        path = os.path.join(step_dir, name, "_METADATA")
+        if os.path.exists(path):
+            open(path, "w").close()  # truncate
+    # empty file carries no layout info: detection reports indeterminate
+    # (item_metadata fallback) rather than a confident wrong answer
+    assert mgr.saved_uses_fused_layout() in (None, True)
+    assert mgr.saved_uses_fused_layout() is not False
+
+
+def test_template_master_detection_sees_dict_nested_state():
+    """_template_uses_master_layout must find MasterWeightsState below a
+    dict-valued wrapper (e.g. an inner_states mapping), same as the
+    fused-layout walker."""
+    from xpretrain_tpu.optim.optimizer import MasterWeightsState
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    nested = {"opt_state": ({"group": MasterWeightsState(master={"w": 1}, inner=())},)}
+    assert CheckpointManager._template_uses_master_layout(nested) is True
+    plain = {"opt_state": ({"group": ("no", "masters")},)}
+    assert CheckpointManager._template_uses_master_layout(plain) is False
+
+
+def test_step_already_exists_retry_backs_off(tmp_path, monkeypatch):
+    """A raced StepAlreadyExistsError is retried (not a structural fast-fail)
+    and the retry goes through the backoff sleep — a tight spin would burn
+    the whole retry budget in milliseconds if the delete keeps failing."""
+    from xpretrain_tpu.train.checkpoints import CheckpointManager
+
+    class StepAlreadyExistsError(ValueError):
+        pass
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), retries=5)
+    real_save = mgr._mgr.save
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def racing_save(step, args=None, force=False):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise StepAlreadyExistsError(f"step {step} already exists")
+        return real_save(step, args=args, force=force)
+
+    monkeypatch.setattr(mgr._mgr, "save", racing_save)
+    monkeypatch.setattr("xpretrain_tpu.train.checkpoints.time.sleep", sleeps.append)
+    mgr.save(1, {"w": np.ones(4, np.float32)})
+    assert calls["n"] == 3 and mgr.latest_step() == 1
+    assert len(sleeps) == 2  # each failed attempt backed off
+
+
 def test_generic_trainer_adapts_fused_layout_on_resume(tmp_path):
     """GenericTrainer must follow the checkpoint's optimizer-state layout
     instead of failing when the configured --fused_adamw differs."""

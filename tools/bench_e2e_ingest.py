@@ -266,14 +266,24 @@ def _loader(pipe, workers: int, seed: int = 0):
 
 
 def measure_host(pipe, workers: int, n_batches: int) -> dict:
-    """Loader-only sustained rate (decode -> transform -> collate)."""
+    """Loader-only sustained rate (decode -> transform -> collate).
+
+    The timed window owns every decode it counts: warm-up is one *serial*
+    item (libav init + page-cache touch of the corpus files) with no pool
+    left running, and the pooled iterator is created inside the window — a
+    pool-primed warm batch would let ``prefetch_batches`` of decode run
+    off-clock and overstate the sustained rate on multi-core hosts. The
+    iterator is closed afterwards so queued decodes don't bleed into the
+    next row (≤ ``workers`` in-flight item decodes may still drain)."""
+    pipe["dataset"][0]  # warm: lib init + file cache, serial, fully drained
     it = _loader(pipe, workers)
-    batch = next(it)  # warm: file cache + lib init + first pool spin-up
-    nbytes = sum(v.nbytes for v in batch.values() if hasattr(v, "nbytes"))
+    batch = None
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        next(it)
+        batch = next(it)
     wall = time.perf_counter() - t0
+    it.close()
+    nbytes = sum(v.nbytes for v in batch.values() if hasattr(v, "nbytes"))
     clips = n_batches * pipe["batch"]
     return {
         "workers": workers,

@@ -35,10 +35,15 @@ def main():
             for row in json.load(f):
                 if "analytic" in row:
                     prev = by_bench.get(row["bench"])
-                    # prefer rows carrying the by_category audit
-                    if prev and prev["measured"].get("by_category") and not (
-                        row.get("measured") or {}
-                    ).get("by_category"):
+                    # newest wins, but never downgrade: a row with measured
+                    # counters beats a measured-null one ("measured" is null
+                    # when the trace produced no counters), and a row carrying
+                    # the by_category audit beats one without it
+                    def rank(r):
+                        m = r.get("measured") or {}
+                        return (bool(m), bool(m.get("by_category")))
+
+                    if prev and rank(prev) > rank(row):
                         continue
                     by_bench[row["bench"]] = row
     results = list(by_bench.values())

@@ -31,10 +31,12 @@ import numpy as np
 class BatchLoader:
     """Iterate a map-style dataset in seeded, optionally sharded batches.
 
-    ``num_workers > 1`` decodes items through a shared thread pool, pipelined
+    ``num_workers >= 1`` decodes items through a shared thread pool, pipelined
     ``prefetch_batches`` ahead — the production-rate ingest path replacing the
     reference's torch ``DataLoader(n_workers=4)`` decode processes
-    (``CLIP-ViP/src/datasets/dataloader.py:65-157``). Threads suffice on a TPU
+    (``CLIP-ViP/src/datasets/dataloader.py:65-157``); ``num_workers=1`` is one
+    background decode thread (torch semantics), 0 is the serial inline path.
+    Threads suffice on a TPU
     host because the native reader's ctypes calls release the GIL during
     libav decode (``data/video_reader.py``); batch order is identical to the
     serial path (futures are consumed in index order).
@@ -90,7 +92,7 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Any]:
         idx = self._indices()
         starts = range(0, len(idx) - self.batch_size + 1, self.batch_size)
-        if self.num_workers <= 1:
+        if self.num_workers < 1:
             for start in starts:
                 items = [self.dataset[int(i)] for i in idx[start : start + self.batch_size]]
                 yield self.collate_fn(items)
@@ -192,6 +194,13 @@ class InfiniteIterator:
                 self.loader.set_epoch(self.epoch)
             self._it = iter(self.loader)
             return next(self._it)
+
+    def close(self) -> None:
+        """Close the underlying iterator now (cancels a pooled BatchLoader's
+        queued decodes) instead of waiting for GC."""
+        close = getattr(self._it, "close", None)
+        if close is not None:
+            close()
 
 
 class MetaLoader:

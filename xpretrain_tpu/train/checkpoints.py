@@ -88,11 +88,13 @@ class CheckpointManager:
                 # orbax StepAlreadyExistsError subclasses ValueError but is
                 # NOT structural: it happens when a presumed-failed async
                 # write landed after all (the drain raised, the background
-                # finalize won the race) — the delete above cleared it, so
-                # retry immediately
-                if type(e).__name__ == "StepAlreadyExistsError":
-                    continue
-                if isinstance(e, (ValueError, TypeError)):
+                # finalize won the race) — the delete above clears it, and
+                # the retry proceeds through the normal backoff (if the
+                # delete itself keeps failing, spinning without sleep would
+                # burn the whole budget in milliseconds)
+                if type(e).__name__ != "StepAlreadyExistsError" and isinstance(
+                    e, (ValueError, TypeError)
+                ):
                     # structural rejections (unsaveable leaf, bad tree) are
                     # deterministic — retrying burns minutes of backoff on
                     # the same error; only IO-ish failures get the retries
@@ -173,7 +175,11 @@ class CheckpointManager:
             if os.path.exists(path):
                 try:
                     with open(path) as f:
-                        return f.read()
+                        meta = f.read()
+                    # an empty file (crash mid-write) carries no layout info;
+                    # fall through to the item_metadata fallback instead
+                    if meta:
+                        return meta
                 except OSError:
                     pass
                 break
@@ -183,21 +189,19 @@ class CheckpointManager:
             return None
 
     @staticmethod
-    def _template_uses_fused_layout(state_template: Any) -> bool | None:
-        """Layout of the CURRENT run's optimizer state (same heuristic as
-        :meth:`saved_uses_fused_layout`); None when indeterminable."""
-        def has_inner_states(obj) -> bool:
-            # the multi_transform/partition layout is marked by a namedtuple
-            # field literally named 'inner_states' (optax PartitionState) —
-            # the same marker orbax serializes into _METADATA
+    def _opt_state_has_field(state_template: Any, field: str) -> bool | None:
+        """True when the template's ``opt_state`` tree contains a namedtuple
+        with the given field anywhere (including under list/tuple/dict
+        wrappers); None when there is no opt_state / the walk fails."""
+        def has(obj) -> bool:
             if hasattr(obj, "_fields"):
-                return "inner_states" in obj._fields or any(
-                    has_inner_states(getattr(obj, f)) for f in obj._fields
+                return field in obj._fields or any(
+                    has(getattr(obj, f)) for f in obj._fields
                 )
             if isinstance(obj, (list, tuple)):
-                return any(has_inner_states(x) for x in obj)
+                return any(has(x) for x in obj)
             if isinstance(obj, dict):
-                return any(has_inner_states(v) for v in obj.values())
+                return any(has(v) for v in obj.values())
             return False
 
         try:
@@ -207,33 +211,25 @@ class CheckpointManager:
                 opt_state = getattr(state_template, "opt_state", None)
             if opt_state is None:
                 return None
-            return not has_inner_states(opt_state)
+            return has(opt_state)
         except Exception:  # noqa: BLE001
             return None
 
-    @staticmethod
-    def _template_uses_master_layout(state_template: Any) -> bool | None:
+    @classmethod
+    def _template_uses_fused_layout(cls, state_template: Any) -> bool | None:
+        """Layout of the CURRENT run's optimizer state (same heuristic as
+        :meth:`saved_uses_fused_layout`); None when indeterminable. The
+        multi_transform/partition layout is marked by a namedtuple field
+        literally named 'inner_states' (optax PartitionState) — the same
+        marker orbax serializes into _METADATA."""
+        found = cls._opt_state_has_field(state_template, "inner_states")
+        return None if found is None else not found
+
+    @classmethod
+    def _template_uses_master_layout(cls, state_template: Any) -> bool | None:
         """Whether the CURRENT run's opt state carries ``master_weights``
         masters (``--param_dtype bf16``); None when indeterminable."""
-        def has_master(obj) -> bool:
-            if hasattr(obj, "_fields"):
-                return "master" in obj._fields or any(
-                    has_master(getattr(obj, f)) for f in obj._fields
-                )
-            if isinstance(obj, (list, tuple)):
-                return any(has_master(x) for x in obj)
-            return False
-
-        try:
-            if isinstance(state_template, dict):
-                opt_state = state_template.get("opt_state")
-            else:
-                opt_state = getattr(state_template, "opt_state", None)
-            if opt_state is None:
-                return None
-            return has_master(opt_state)
-        except Exception:  # noqa: BLE001
-            return None
+        return cls._opt_state_has_field(state_template, "master")
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         step = step if step is not None else self.latest_step()
