@@ -19,6 +19,12 @@ from xpretrain_tpu.parallel.fsdp import (
     fsdp_state_shardings,
     resolve_shardings,
 )
+from xpretrain_tpu.parallel.moe import (
+    EXPERT_AXIS,
+    MoeFfn,
+    moe_param_shardings,
+    moe_pspec,
+)
 from xpretrain_tpu.parallel.tensor_parallel import (
     hybrid_state_shardings,
     tp_param_shardings,
@@ -27,8 +33,12 @@ from xpretrain_tpu.parallel.tensor_parallel import (
 
 __all__ = [
     "DATA_AXIS",
+    "EXPERT_AXIS",
     "MODEL_AXIS",
+    "MoeFfn",
     "PIPE_AXIS",
+    "moe_param_shardings",
+    "moe_pspec",
     "batch_sharding",
     "create_mesh",
     "replicated_sharding",
