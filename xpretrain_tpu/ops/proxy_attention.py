@@ -34,6 +34,7 @@ never exists in HBM in either direction — gradients are exact.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
@@ -450,6 +451,28 @@ def proxy_flash_attention_packed(
     return out.transpose(0, 2, 1, 3).reshape(B, S, E)
 
 
+# Trace-time override for the backend-driven Pallas/XLA choice below.
+# ``jax.export`` lowers for a *target* platform that may differ from
+# ``jax.default_backend()`` (e.g. a portable CPU+TPU artifact built on a TPU
+# host); the Pallas custom-call cannot lower for CPU, and the fallback
+# except-clause below cannot catch that lowering-time error (it fires inside
+# ``Lowered.lower``, after tracing). Exporters wrap tracing in this context
+# to pin the pure-XLA path (`serving/artifact.py`).
+_FORCE_XLA_PATH = False
+
+
+@contextlib.contextmanager
+def force_xla_attention():
+    """Within this context, proxy attention traces the pure-XLA path."""
+    global _FORCE_XLA_PATH
+    prev = _FORCE_XLA_PATH
+    _FORCE_XLA_PATH = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA_PATH = prev
+
+
 def proxy_flash_attention(
     q: Array,  # [B, H, S, D], S = M + N*L
     k: Array,
@@ -463,6 +486,9 @@ def proxy_flash_attention(
 ) -> Array:
     """Proxy attention output [B, H, S, D]; differentiable (exact VJP)."""
     assert q.shape[-2] == M + N * L, (q.shape, M, N, L)
+    if _FORCE_XLA_PATH:
+        use_pallas = False
+        interpret = False
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas or interpret:

@@ -1,0 +1,17 @@
+"""Serving/deployment: AOT-serialized retrieval artifacts (``jax.export``)."""
+
+from xpretrain_tpu.serving.artifact import (
+    FORMAT_VERSION,
+    RetrievalArtifact,
+    export_retrieval_towers,
+    load_artifact,
+    save_artifact,
+)
+
+__all__ = [
+    "FORMAT_VERSION",
+    "RetrievalArtifact",
+    "export_retrieval_towers",
+    "load_artifact",
+    "save_artifact",
+]
