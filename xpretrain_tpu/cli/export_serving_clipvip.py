@@ -2,7 +2,7 @@
 
 The reference's serving story is "ship the repo + torch checkpoint and run
 ``run_video_retrieval.py`` in eval mode" (ref
-``CLIP-ViP/src/tasks/run_video_retrieval.py:330-360``). This tool replaces
+``CLIP-ViP/src/tasks/run_video_retrieval.py:105-117``). This tool replaces
 that with a one-file deployment unit: it builds the model from the same
 shared config surface the runners use (``--clip_size``, ``--num_frm``,
 ``--crop_img_size``, ``--max_txt_len``, ``--bf16``), loads torch weights

@@ -35,6 +35,7 @@ never exists in HBM in either direction — gradients are exact.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from functools import partial
 
 import jax
@@ -456,21 +457,36 @@ def proxy_flash_attention_packed(
 # ``jax.default_backend()`` (e.g. a portable CPU+TPU artifact built on a TPU
 # host); the Pallas custom-call cannot lower for CPU, and the fallback
 # except-clause below cannot catch that lowering-time error (it fires inside
-# ``Lowered.lower``, after tracing). Exporters wrap tracing in this context
-# to pin the pure-XLA path (`serving/artifact.py`).
-_FORCE_XLA_PATH = False
+# ``Lowered.lower``, after tracing). Exporters wrap tracing in one of these
+# contexts to pin the path regardless of the local backend
+# (`serving/artifact.py`). A ContextVar (not a module global) so a
+# concurrent trace on another thread cannot observe the override.
+_FORCED_PATH: "contextvars.ContextVar[str | None]" = contextvars.ContextVar(
+    "xpt_proxy_attention_forced_path", default=None
+)
 
 
 @contextlib.contextmanager
 def force_xla_attention():
     """Within this context, proxy attention traces the pure-XLA path."""
-    global _FORCE_XLA_PATH
-    prev = _FORCE_XLA_PATH
-    _FORCE_XLA_PATH = True
+    token = _FORCED_PATH.set("xla")
     try:
         yield
     finally:
-        _FORCE_XLA_PATH = prev
+        _FORCED_PATH.reset(token)
+
+
+@contextlib.contextmanager
+def force_pallas_attention():
+    """Within this context, proxy attention traces the Pallas kernel even
+    when the local backend is not TPU (exports targeting TPU from another
+    host, `serving/artifact.py`). The resulting HLO embeds a
+    ``tpu_custom_call`` and only runs on TPU."""
+    token = _FORCED_PATH.set("pallas")
+    try:
+        yield
+    finally:
+        _FORCED_PATH.reset(token)
 
 
 def proxy_flash_attention(
@@ -486,9 +502,13 @@ def proxy_flash_attention(
 ) -> Array:
     """Proxy attention output [B, H, S, D]; differentiable (exact VJP)."""
     assert q.shape[-2] == M + N * L, (q.shape, M, N, L)
-    if _FORCE_XLA_PATH:
+    forced = _FORCED_PATH.get()
+    if forced == "xla":
         use_pallas = False
         interpret = False
+    elif forced == "pallas":
+        # no fallback: a lowering-time failure must surface to the exporter
+        return _flash(q, k, v, M, L, scale, interpret)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas or interpret:

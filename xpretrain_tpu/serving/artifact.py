@@ -2,15 +2,21 @@
 
 The reference deploys retrieval by shipping the full training stack — Python
 model code plus a torch checkpoint that ``run_video_retrieval.py`` restores
-at startup (ref ``CLIP-ViP/src/tasks/run_video_retrieval.py:330-360``,
-``e2e_weights_path``). On TPU the deployment unit can instead be a single
+at startup (ref ``CLIP-ViP/src/tasks/run_video_retrieval.py:105-117``,
+``setup_model``'s ``e2e_weights_path`` restore). On TPU the deployment unit
+can instead be a single
 **serialized StableHLO artifact**: ``jax.export`` lowers the jitted encoder
 closures once — parameters frozen in as constants — and any serving host
 deserializes and calls them with no model code, no flax, no checkpoint
 restore; only ``jax`` and the artifact file. A symbolic batch dimension
 means one artifact serves every request batch size, and the lowered module
-is exactly what the training-side jit would have compiled, so serving
-numerics match training-side eval bit-for-bit on the same platform/dtype.
+is exactly what the training-side jit would have compiled for the same
+attention path, so serving numerics match training-side eval bit-for-bit
+when the attention paths match: a default (XLA-attention) artifact vs
+CPU/XLA-path eval, or a ``use_pallas_attention`` artifact vs TPU training,
+whose jit takes the Pallas flash kernel. Across the two paths the math is
+the same attention with a different accumulation order — equal to bf16
+round-off, not bit-for-bit (measured in ``tests/test_serving_artifact.py``).
 
 Layout of the ``.xpsa`` file (a zip):
 
@@ -43,7 +49,6 @@ portable.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import zipfile
 from typing import Any, Mapping, Sequence
@@ -110,18 +115,33 @@ def export_retrieval_towers(
     dimension is symbolic ("b"): one export serves every batch size.
 
     By default the artifact traces the pure-XLA proxy-attention path so it
-    is portable to any export platform. ``use_pallas_attention=True`` keeps
-    the fused Pallas kernel (faster on TPU, PERF.md) — that embeds a
-    ``tpu_custom_call``, pins the artifact to TPU, and implies the
+    is portable to any export platform. ``use_pallas_attention=True``
+    *forces* the fused Pallas kernel at trace time (faster on TPU, PERF.md)
+    regardless of the export host's backend — that embeds a
+    ``tpu_custom_call``, pins the artifact to TPU (``platforms`` is forced
+    to ``("tpu",)``; passing anything else raises), and implies the
     corresponding ``DisabledSafetyCheck`` (added automatically unless you
     pass your own ``disabled_checks``).
     """
     # Import here: serving hosts that only *load* artifacts never pull flax.
     from xpretrain_tpu.models.clip_vip.model import CLIPViPModel
-    from xpretrain_tpu.ops.proxy_attention import force_xla_attention
+    from xpretrain_tpu.ops.proxy_attention import (
+        force_pallas_attention,
+        force_xla_attention,
+    )
 
-    if use_pallas_attention and not disabled_checks:
-        disabled_checks = (jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+    if use_pallas_attention:
+        if not disabled_checks:
+            disabled_checks = (jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+        # the Pallas custom-call only lowers/runs on TPU: pin the artifact so
+        # loaders can detect it from meta["platforms"], and refuse platform
+        # lists that promise portability the module cannot deliver
+        if platforms is not None and tuple(platforms) != ("tpu",):
+            raise ValueError(
+                f"use_pallas_attention embeds a tpu_custom_call; platforms must be "
+                f"('tpu',), got {tuple(platforms)}"
+            )
+        platforms = ("tpu",)
 
     def _video(video: Array) -> Array:
         return model.apply(variables, video, method=CLIPViPModel.forward_video)
@@ -143,11 +163,12 @@ def export_retrieval_towers(
     kwargs: dict[str, Any] = {"disabled_checks": tuple(disabled_checks)}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    if use_pallas_attention:
+    # force the path explicitly in both directions: the backend-driven
+    # default would silently embed the XLA path when exporting from a
+    # non-TPU host with use_pallas_attention=True (and vice versa)
+    path_ctx = force_pallas_attention if use_pallas_attention else force_xla_attention
+    with path_ctx():
         video_exp = jax.export.export(jax.jit(_video), **kwargs)(video_spec)
-    else:
-        with force_xla_attention():
-            video_exp = jax.export.export(jax.jit(_video), **kwargs)(video_spec)
     text_exp = jax.export.export(jax.jit(_text), **kwargs)(ids_spec, mask_spec)
 
     cfg = model.config
@@ -169,14 +190,14 @@ def export_retrieval_towers(
 
 
 def save_artifact(path: str, artifact: RetrievalArtifact) -> None:
-    """Write the artifact as one ``.xpsa`` zip (see module docstring)."""
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+    """Write the artifact as one ``.xpsa`` zip (see module docstring).
+
+    Streams members straight into the output file — a large_14 fp32 export
+    holds multi-GB serialized towers, so no whole-zip BytesIO copy."""
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_VIDEO_MEMBER, bytes(artifact.video.serialize()))
         zf.writestr(_TEXT_MEMBER, bytes(artifact.text.serialize()))
         zf.writestr(_META_MEMBER, json.dumps(artifact.meta, indent=2))
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
 
 
 def load_artifact(path: str) -> RetrievalArtifact:
