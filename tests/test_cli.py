@@ -1,8 +1,10 @@
 """CLI runners smoke-tested end-to-end with synthetic data on the CPU mesh."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_retrieval_cli_eval_mode(tmp_path):
     from xpretrain_tpu.cli import run_retrieval_clipvip
 
@@ -101,6 +103,7 @@ def test_config_preset_merge(tmp_path):
     assert cfg.clip_vision_additional_config.add_cls_num == 3
 
 
+@pytest.mark.slow
 def test_pretrain_cli_tensor_parallel(tmp_path):
     """--tp 2 trains on a (data=4, model=2) mesh with Megatron param sharding."""
     from xpretrain_tpu.cli import run_pretrain_clipvip

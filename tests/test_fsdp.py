@@ -85,6 +85,7 @@ def test_fsdp_pspec_rules():
 
 
 @pytest.mark.parametrize("mesh_shape,tp", [((8,), 1), ((4, 2), 2)])
+@pytest.mark.slow
 def test_fsdp_train_step_matches_dp(mesh_shape, tp):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

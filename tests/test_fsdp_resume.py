@@ -30,6 +30,7 @@ def _init(model, batch):
     )["params"]
 
 
+@pytest.mark.slow
 def test_fsdp_checkpoint_roundtrip(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -85,6 +86,7 @@ def test_fsdp_checkpoint_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_fsdp_with_grad_accum_matches_dp(tmp_path):
     """MultiSteps wraps a params-shaped grad accumulator into the opt state;
     the FSDP path-suffix sharding must handle it and stay DP-equivalent."""

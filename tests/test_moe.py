@@ -80,6 +80,7 @@ def test_topk_dispatch_masks_are_consistent():
     assert (np.asarray(combine)[d == 0] == 0).all()
 
 
+@pytest.mark.slow
 def test_moe_all_experts_receive_gradients():
     """With balanced random routing every expert's weights must train, and
     the router must receive main-loss gradient through the gate."""

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from xpretrain_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+import pytest
+
 from xpretrain_tpu.ops.patchify import (
     extract_patches_u8,
     fold_normalization,
@@ -77,6 +79,7 @@ def test_fold_normalization_algebra():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_clipvip_u8_path_matches_float_path():
     """Model fed raw uint8 must equal model fed host-normalized fp32."""
     import jax

@@ -89,6 +89,7 @@ def test_pipeline_more_microbatches_than_stages():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_matches_sequential():
     enc, params, hidden = _encoder_params()
     target = jax.random.normal(jax.random.PRNGKey(3), hidden.shape)
@@ -128,6 +129,7 @@ def test_pipeline_with_data_parallel_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_matches_sequential():
     """One AdamW step on a pipelined MLM-toy ≡ the sequential step."""
     import optax

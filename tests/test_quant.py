@@ -116,6 +116,7 @@ def test_maybe_int8_serving_disabled_is_exact():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_clipvip_int8_embedding_cosine():
     from xpretrain_tpu.models.clip_vip import (
         CLIPTextConfig,

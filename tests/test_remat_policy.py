@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
+import pytest
 
 
 def _cfg(**kw):
@@ -38,6 +39,7 @@ def _loss_and_grads(cfg, params, video):
     return float(val), grads
 
 
+@pytest.mark.slow
 def test_remat_policy_matches_full_remat_and_no_remat():
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(2, 3, 8, 32, 32)).astype(np.float32))

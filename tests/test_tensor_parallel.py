@@ -86,6 +86,7 @@ def test_tp_pspec_rules():
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.slow
 def test_tp_train_step_matches_dp(mesh_shape):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -177,6 +178,7 @@ def test_hybrid_state_shardings_layout():
     assert zero_moments and all("data" in [a for a in s if a] for s in zero_moments)
 
 
+@pytest.mark.slow
 def test_tp_state_checkpoint_roundtrip(tmp_path):
     """A TP-sharded train state survives the gather-save / restore cycle."""
     if len(jax.devices()) < 8:

@@ -73,6 +73,17 @@ class HdVilaPretrainModel(nn.Module):
             out["loss"] = out.get("mlm_loss", 0.0) + out.get("itm_loss", 0.0)
         return out
 
+    def forward_video(self, img_middle, img_other):
+        """Video tower alone: hybrid encoder grid -> ITC projection.
+
+        The serving-export surface (``serving/artifact.py``) — same math as
+        the video half of the stage-1 ``__call__``."""
+        return self.transformer.project_visual(self.encoder(img_middle, img_other))
+
+    def forward_text(self, text_input_ids, text_input_mask):
+        """Text tower alone (stage-0 BERT -> pooled -> t_proj -> L2)."""
+        return self.transformer.forward_text(text_input_ids, text_input_mask)
+
 
 def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
     dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32

@@ -256,6 +256,25 @@ class HdVilaForPreTraining(nn.Module):
         """Apply pooler1's dense+tanh to the mean-pooled text (ref :385-387)."""
         return self.bert_model.pooler1(mean_text[:, None])
 
+    def forward_text(self, text_input_ids: Array, text_input_mask: Array) -> Array:
+        """Text tower alone: stage-0 BERT -> pooled -> t_proj -> L2 norm.
+
+        Identical math to the text half of ``__call__`` (the stage-1 ITC
+        features); the serving-export surface (``serving/artifact.py``)."""
+        text_hidden, pooled1 = self.bert_model.forward_stage1(
+            text_input_ids, text_input_mask, True
+        )
+        if self.config.bert_mean:
+            mask = text_input_mask[..., None].astype(text_hidden.dtype)
+            mean_text = (text_hidden * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
+            pooled1 = self._pool1_transform(mean_text)
+        return l2_normalize(self.t_proj(pooled1))
+
+    def project_visual(self, visual_inputs: Array) -> Array:
+        """ITC video projection of the encoder grid: mean-pool -> v_proj -> L2."""
+        visual_pooled = visual_inputs.mean(axis=(1, 2, 3, 4))
+        return l2_normalize(self.v_proj(visual_pooled))
+
 
 class HdVilaForSequenceClassification(nn.Module):
     """QA-as-classification head over the fused [CLS] (ref ``:482-546``)."""

@@ -115,6 +115,20 @@ class LfVilaRetrieval(_LfVilaBase):
             "loss": loss,
         }
 
+    def forward_video(self, video_frames: Array) -> Array:
+        """Video tower alone: [B, C, N, H, W] -> L2-normalized [B, hidden].
+
+        The serving-export surface (``serving/artifact.py``) — identical math
+        to the video half of ``__call__``."""
+        video_global_embd, _ = self.video_encoder(video_frames, deterministic=True)
+        clips, _ = self.downsample_video_embd(video_global_embd)
+        return l2_normalize(self.video_global_proj(clips.mean(axis=1)))
+
+    def forward_text(self, text_ids: Array, attention_mask: Array) -> Array:
+        """Text tower alone: [B, M, L] ids + mask -> L2-normalized [B, hidden]."""
+        text_hidden, _ = self.encode_text_global(text_ids, attention_mask, True)
+        return l2_normalize(self.text_global_proj(text_hidden[:, 0]))
+
 
 class LfVilaQAMultichoice(_LfVilaBase):
     """Per-choice fusion + span classifier (ref ``lfvila_qa_multichoice.py``)."""

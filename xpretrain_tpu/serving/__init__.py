@@ -3,6 +3,8 @@
 from xpretrain_tpu.serving.artifact import (
     FORMAT_VERSION,
     RetrievalArtifact,
+    export_hdvila_retrieval_towers,
+    export_lfvila_retrieval_towers,
     export_retrieval_towers,
     load_artifact,
     save_artifact,
@@ -11,6 +13,8 @@ from xpretrain_tpu.serving.artifact import (
 __all__ = [
     "FORMAT_VERSION",
     "RetrievalArtifact",
+    "export_hdvila_retrieval_towers",
+    "export_lfvila_retrieval_towers",
     "export_retrieval_towers",
     "load_artifact",
     "save_artifact",

@@ -72,6 +72,10 @@ class RetrievalArtifact:
     ``encode_video`` / ``encode_text`` jit the exported calls on first use
     (compiled once per concrete batch size; the symbolic-batch export means
     any batch size retraces cheaply without re-lowering the model).
+
+    ``encode_video`` is variadic: CLIP-ViP and LF-VILA towers take one
+    video tensor; HD-VILA's hybrid tower takes ``(img_middle, img_other)``
+    (``meta["family"]`` says which, ``meta`` records the expected shapes).
     """
 
     video: jax.export.Exported
@@ -82,18 +86,139 @@ class RetrievalArtifact:
         self._video_call = jax.jit(self.video.call)
         self._text_call = jax.jit(self.text.call)
 
-    def encode_video(self, video: Array) -> Array:
-        return self._video_call(video)
+    def encode_video(self, *video: Array) -> Array:
+        return self._video_call(*video)
 
     def encode_text(self, input_ids: Array, attention_mask: Array) -> Array:
         return self._text_call(input_ids, attention_mask)
 
     def similarity(self, text_feats: Array, video_feats: Array, scaled: bool = False) -> Array:
-        """[Nt, Nv] retrieval scores; ``scaled`` applies exp(logit_scale)."""
+        """[Nt, Nv] retrieval scores; ``scaled`` applies exp(logit_scale)
+        (CLIP-ViP) or 1/temp (HD-VILA / LF-VILA)."""
         scores = jnp.asarray(text_feats) @ jnp.asarray(video_feats).T
         if scaled:
-            scores = scores * float(jnp.exp(self.meta["logit_scale"]))
+            if "logit_scale" in self.meta:
+                scores = scores * float(jnp.exp(self.meta["logit_scale"]))
+            elif "temp" in self.meta:
+                scores = scores / float(self.meta["temp"])
         return scores
+
+
+def _export_pair(
+    video_fn, video_specs: tuple, text_fn, text_specs: tuple,
+    platforms: Sequence[str] | None, disabled_checks: Sequence[Any],
+) -> tuple[jax.export.Exported, jax.export.Exported]:
+    """Lower both towers with shared export kwargs (symbolic batch dim)."""
+    kwargs: dict[str, Any] = {"disabled_checks": tuple(disabled_checks)}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    video_exp = jax.export.export(jax.jit(video_fn), **kwargs)(*video_specs)
+    text_exp = jax.export.export(jax.jit(text_fn), **kwargs)(*text_specs)
+    return video_exp, text_exp
+
+
+def export_hdvila_retrieval_towers(
+    model,
+    variables: Mapping[str, Any],
+    *,
+    n_clips: int = 2,
+    n_hi_frames: int = 1,
+    n_lo_frames: int = 6,
+    hi_size: tuple[int, int] = (640, 1024),
+    lo_size: tuple[int, int] = (160, 256),
+    seq_len: int = 50,
+    platforms: Sequence[str] | None = None,
+    disabled_checks: Sequence[Any] = (),
+) -> RetrievalArtifact:
+    """Lower an ``HdVilaPretrainModel``'s stage-1 ITC towers to an artifact.
+
+    The reference serves HD-VILA retrieval by restoring the torch checkpoint
+    into the training stack (``hd-vila/src/tasks/run_video_retrieval.py``,
+    ``e2e_weights_path``); here the dual-encoder towers export standalone.
+    Video tower input is the hybrid pair the collator produces:
+    ``img_middle [B, clips, 3·n_hi, H, W]`` high-res middles +
+    ``img_other [B, clips, n_lo, 3, h, w]`` low-res context frames.
+    """
+    def _video(img_middle: Array, img_other: Array) -> Array:
+        return model.apply(variables, img_middle, img_other,
+                           method=type(model).forward_video)
+
+    def _text(input_ids: Array, attention_mask: Array) -> Array:
+        return model.apply(variables, input_ids, attention_mask,
+                           method=type(model).forward_text)
+
+    (b,) = jax.export.symbolic_shape("b")
+    mid_spec = jax.ShapeDtypeStruct(
+        (b, n_clips, 3 * n_hi_frames, *hi_size), jnp.float32)
+    oth_spec = jax.ShapeDtypeStruct(
+        (b, n_clips, n_lo_frames, 3, *lo_size), jnp.float32)
+    ids_spec = jax.ShapeDtypeStruct((b, seq_len), jnp.int32)
+    mask_spec = jax.ShapeDtypeStruct((b, seq_len), jnp.int32)
+    video_exp, text_exp = _export_pair(
+        _video, (mid_spec, oth_spec), _text, (ids_spec, mask_spec),
+        platforms, disabled_checks)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "family": "hd_vila",
+        "n_clips": n_clips,
+        "n_hi_frames": n_hi_frames,
+        "n_lo_frames": n_lo_frames,
+        "hi_size": list(hi_size),
+        "lo_size": list(lo_size),
+        "seq_len": seq_len,
+        "temp": float(getattr(model, "temp", 0.05)),
+        "attention": "xla",
+        "platforms": list(video_exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    return RetrievalArtifact(video=video_exp, text=text_exp, meta=meta)
+
+
+def export_lfvila_retrieval_towers(
+    model,
+    variables: Mapping[str, Any],
+    *,
+    frames: int = 32,
+    image_size: tuple[int, int] = (192, 320),
+    n_sent: int = 4,
+    sent_len: int = 50,
+    platforms: Sequence[str] | None = None,
+    disabled_checks: Sequence[Any] = (),
+) -> RetrievalArtifact:
+    """Lower an ``LfVilaRetrieval``'s dual-encoder towers to an artifact.
+
+    Reference deployment restores the DeepSpeed checkpoint into the training
+    stack (``LF-VILA/src/tasks/run_retrieval.py``); here the Swin3D/HTWA
+    video tower and the hierarchical text tower export standalone. Video
+    input ``[B, 3, N, H, W]`` float frames, text ``[B, M, L]`` sentence ids.
+    """
+    def _video(video_frames: Array) -> Array:
+        return model.apply(variables, video_frames, method=type(model).forward_video)
+
+    def _text(text_ids: Array, attention_mask: Array) -> Array:
+        return model.apply(variables, text_ids, attention_mask,
+                           method=type(model).forward_text)
+
+    (b,) = jax.export.symbolic_shape("b")
+    vid_spec = jax.ShapeDtypeStruct((b, 3, frames, *image_size), jnp.float32)
+    ids_spec = jax.ShapeDtypeStruct((b, n_sent, sent_len), jnp.int32)
+    mask_spec = jax.ShapeDtypeStruct((b, n_sent, sent_len), jnp.int32)
+    video_exp, text_exp = _export_pair(
+        _video, (vid_spec,), _text, (ids_spec, mask_spec),
+        platforms, disabled_checks)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "family": "lf_vila",
+        "frames": frames,
+        "image_size": list(image_size),
+        "n_sent": n_sent,
+        "sent_len": sent_len,
+        "temp": float(model.config.temp),
+        "attention": "xla",
+        "platforms": list(video_exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    return RetrievalArtifact(video=video_exp, text=text_exp, meta=meta)
 
 
 def export_retrieval_towers(
