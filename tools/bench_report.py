@@ -30,6 +30,19 @@ import numpy as np  # noqa: E402
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (per chip)
 V5E_HBM_BPS = 819e9  # TPU v5e HBM bandwidth ceiling (bytes/s)
 
+
+def enable_compile_cache(path: str = "/tmp/jax_compile_cache") -> None:
+    """Persistent XLA compile cache: LF-VILA-scale steps cold-compile in
+    10-25 min on this toolchain (PERF.md); warm reruns skip that."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 # When set (by tools/profile_counters.py), every timed bench also runs ONE
 # extra iteration under jax.profiler.trace into TRACE_DIR/traceNN, so the
 # on-device op timings can be parsed into measured MXU/HBM utilization.
@@ -571,6 +584,7 @@ def bench_clipvip_l14(quick=False):
 
 
 def main():
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--out", default="PERF_TABLE.md",

@@ -146,9 +146,8 @@ def parse_op_profile(trace_dir: str, top_n: int = 12) -> dict | None:
         }
         for k, c in sorted(cats.items(), key=lambda kv: -kv[1]["time_ps"])
     ]
-    ops.sort(key=lambda o: o["hbm_bytes"], reverse=True)
-    top = [
-        {
+    def _op_row(o):
+        return {
             "name": o["name"][:70],
             "category": o["category"],
             "time_ms": round(o["time_ps"] / 1e9, 3),
@@ -159,8 +158,19 @@ def parse_op_profile(trace_dir: str, top_n: int = 12) -> dict | None:
                 100 * o["flops"] / max(o["time_ps"] / 1e12, 1e-12) / bench_report.V5E_PEAK_BF16, 1
             ),
         }
-        for o in ops[:top_n]
-    ]
+
+    ops.sort(key=lambda o: o["hbm_bytes"], reverse=True)
+    top = [_op_row(o) for o in ops[:top_n]]
+    # the zero-MXU data-movement audit (r4 verdict #1): top ops BY TIME in the
+    # pure-movement categories, named so they can be matched against the
+    # optimized HLO dump and attributed to source (partition/reverse, head
+    # split, remat recompute, optimizer update)
+    movement = [o for o in ops if o["category"] in
+                ("data formatting", "loop fusion", "copy-done", "copy", "output fusion")]
+    movement.sort(key=lambda o: o["time_ps"], reverse=True)
+    top_movement = [_op_row(o) for o in movement[:top_n]]
+    by_time = sorted(ops, key=lambda o: o["time_ps"], reverse=True)
+    top_time = [_op_row(o) for o in by_time[:top_n]]
     return {
         "busy_ms": round(busy_ps / 1e9, 2),
         "idle_ms": round(idle_ps / 1e9, 2),
@@ -176,6 +186,8 @@ def parse_op_profile(trace_dir: str, top_n: int = 12) -> dict | None:
         "vmem_wr_gbps": round(total["vmem_wr"] / busy_s / 1e9, 0),
         "by_category": by_category,
         "top_hbm_ops": top,
+        "top_movement_ops": top_movement,
+        "top_time_ops": top_time,
     }
 
 
@@ -239,6 +251,26 @@ def write_markdown(results: list[dict], path: str) -> None:
                         f"| {c['hbm_GB']} | {c['hbm_pct_bytes']} | {c['hbm_gbps']} "
                         f"| {c['mxu_pct']} |\n")
         for r in results:
+            if not r["measured"] or not r["measured"].get("top_time_ops"):
+                continue
+            f.write(f"\n## {r['bench']} — top ops by device time\n\n")
+            f.write("| op | category | time ms | %busy | HBM MB | HBM GB/s | MXU % |\n"
+                    "|---|---|---|---|---|---|---|\n")
+            for o in r["measured"]["top_time_ops"]:
+                f.write(f"| `{o['name']}` | {o['category']} | {o['time_ms']} "
+                        f"| {o['time_pct_busy']} | {o['hbm_MB']} | {o['hbm_gbps']} "
+                        f"| {o['mxu_pct']} |\n")
+        for r in results:
+            if not r["measured"] or not r["measured"].get("top_movement_ops"):
+                continue
+            f.write(f"\n## {r['bench']} — top zero-MXU data-movement ops by time\n\n")
+            f.write("| op | category | time ms | %busy | HBM MB | HBM GB/s | MXU % |\n"
+                    "|---|---|---|---|---|---|---|\n")
+            for o in r["measured"]["top_movement_ops"]:
+                f.write(f"| `{o['name']}` | {o['category']} | {o['time_ms']} "
+                        f"| {o['time_pct_busy']} | {o['hbm_MB']} | {o['hbm_gbps']} "
+                        f"| {o['mxu_pct']} |\n")
+        for r in results:
             if not r["measured"]:
                 continue
             f.write(f"\n## {r['bench']} — top HBM byte movers (per traced call)\n\n")
@@ -251,6 +283,7 @@ def write_markdown(results: list[dict], path: str) -> None:
 
 
 def main():
+    bench_report.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--benches", nargs="+", default=["clipvip_train"],
                     choices=sorted(BENCHES), metavar="BENCH")

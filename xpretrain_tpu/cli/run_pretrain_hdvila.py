@@ -126,6 +126,46 @@ def hdvila_configs_from(cfg) -> tuple[HdVilaEncoderConfig, HdVilaModelConfig]:
     return enc, model
 
 
+def apply_stage2_batch_fallback(cfg, backend: str | None = None):
+    """Auto-route stage-2 per-chip batches ≥ 16 through grad accumulation.
+
+    The reference stage-2 recipe trains batch 16/GPU
+    (``hd-vila/src/configs/pretrain_stage2.json``); on the current TPU
+    toolchain that exact configuration reproducibly crashes the XLA compile
+    helper (PERF.md "Stage-2 pretrain steps"; minimized repro in
+    ``tools/repro_hdvila_b16_crash.py``), while microbatch 8 compiles and
+    2×8 grad accumulation is trajectory-equivalent to b=16
+    (``tests/test_grad_accum_equivalence.py``) and within 1.4% of b=8
+    throughput (PERF_MEASURED.md hdvila_train_s2_accum). So instead of
+    leaving the workaround as a documented flag, the runner applies it:
+    stage-2 TPU runs with ``train_batch_size >= 16`` and no explicit
+    ``gradient_accumulation_steps`` are split into microbatches of 8.
+    ``--stage2_b16_fallback 0`` opts out (e.g. after a toolchain fix).
+
+    Pure function of (cfg, backend) so the rewrite is unit-testable.
+    """
+    backend = backend or jax.default_backend()
+    b = int(cfg.get("train_batch_size", 32))
+    if (
+        int(cfg.get("stage", 1)) == 2
+        and backend == "tpu"
+        and bool(cfg.get("stage2_b16_fallback", 1))
+        and b >= 16
+        and int(cfg.get("gradient_accumulation_steps", 1)) == 1
+        and b % 8 == 0
+    ):
+        cfg["gradient_accumulation_steps"] = b // 8
+        cfg["train_batch_size"] = 8
+        from xpretrain_tpu.utils.logging import LOGGER
+
+        LOGGER.warning(
+            "stage-2 b=%d auto-fallback: %d microbatches of 8 with gradient "
+            "accumulation (XLA compile-helper crash at b>=16; disable with "
+            "--stage2_b16_fallback 0)", b, b // 8,
+        )
+    return cfg
+
+
 def main(argv=None):
     parser = build_shared_parser("HD-VILA pretraining")
     parser.add_argument("--stage", type=int, default=1, choices=[1, 2])
@@ -134,7 +174,11 @@ def main(argv=None):
     parser.add_argument("--use_itm", type=int, default=1,
                         help="stage-2 ITM; the reference stage-2 recipe "
                              "disables it (pretrain_stage2.json use_itm: 0)")
+    parser.add_argument("--stage2_b16_fallback", type=int, default=1,
+                        help="auto grad-accum fallback for stage-2 per-chip "
+                             "batches >= 16 (see apply_stage2_batch_fallback)")
     cfg = parse_args(parser, argv)
+    cfg = apply_stage2_batch_fallback(cfg)
     setup_logging(cfg.output_dir, jax.process_index())
     save_training_meta(cfg.output_dir, cfg)
 

