@@ -298,3 +298,23 @@ def test_encoder_remat_matches_no_remat():
     flat = lambda t: jax.tree_util.tree_leaves(t)
     for a, b in zip(flat(results[False][2]), flat(results[True][2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_s2d_stem_equivalence():
+    """The space-to-depth stem is bit-reshuffled, not approximated: same
+    ``conv1/kernel`` param, same output as the direct 7×7/s2 conv (fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.hd_vila.resnet import StemConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 46, 64, 3), jnp.float32)
+    base = StemConv(8, s2d=False)
+    s2d = StemConv(8, s2d=True)
+    params = base.init(jax.random.PRNGKey(1), x)
+    out_base = base.apply(params, x)
+    out_s2d = s2d.apply(params, x)
+    assert out_base.shape == out_s2d.shape == (2, 23, 32, 8)
+    assert jnp.allclose(out_base, out_s2d, atol=1e-5), float(
+        jnp.abs(out_base - out_s2d).max()
+    )

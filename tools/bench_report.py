@@ -377,7 +377,7 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 
-def bench_hdvila_train(quick=False, batch=None, remat=False):
+def bench_hdvila_train(quick=False, batch=None, remat=False, s2d_stem=False):
     """FULL HD-VILA stage-1 pretrain step: hybrid 2-ResNet50 + TimeSformer
     encoder + staged BERT-large + ITC, fwd+bwd+grouped-AdamW, reference
     recipe 2 clips × 7 frames at 640×1024, batch 8/chip
@@ -392,7 +392,9 @@ def bench_hdvila_train(quick=False, batch=None, remat=False):
     from xpretrain_tpu.optim import build_optimizer, get_schedule
 
     b = batch or (2 if quick else 8)  # reference batch/GPU = 8
-    enc_cfg = HdVilaEncoderConfig(hidden_size=1024, dtype=jnp.bfloat16, remat=remat)
+    enc_cfg = HdVilaEncoderConfig(
+        hidden_size=1024, dtype=jnp.bfloat16, remat=remat, s2d_stem=s2d_stem
+    )
     model_cfg = HdVilaModelConfig(stage=1, dtype=jnp.bfloat16)
     model = HdVilaPretrainModel(enc_cfg, model_cfg, temp=0.05)
     rng = np.random.default_rng(0)
@@ -414,7 +416,8 @@ def bench_hdvila_train(quick=False, batch=None, remat=False):
     K = 2 if quick else 4
     t, flops, nbytes = _train_scan_bench(apply_loss, params, (middle, other, ids, mask), tx, K)
     return with_mfu(
-        {"model": "HD-VILA stage-1 TRAIN step (hybrid enc+BERT-L+ITC%s)" % (", remat" if remat else ""), "batch": b,
+        {"model": "HD-VILA stage-1 TRAIN step (hybrid enc+BERT-L+ITC%s%s)"
+         % (", remat" if remat else "", ", s2d stem" if s2d_stem else ""), "batch": b,
          "ms": round(t * 1000, 1), "clips_per_s": round(b / t, 1)}, flops, t, nbytes)
 
 

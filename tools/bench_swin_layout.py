@@ -184,6 +184,70 @@ class BlockBlocked(nn.Module):
         return x + y
 
 
+class BlockFold(nn.Module):
+    """Single-relayout variant: qkv is computed BEFORE the window partition
+    (dense is pointwise, so the partition transpose of x disappears), and the
+    partition + head-split fold into ONE transpose of the qkv tensor
+    ([B,nt,wd,nh,wh,nw,ww,3,h,d] -> [3,B·nW,h,N,d]). The attention dot stays
+    in the canonical [Bn,h,N,d] layout the base variant measures fastest in;
+    only the number of explicit relayouts changes (fwd: 3C vs base's C+3C;
+    out: one transpose straight back to [B,D,H,W,C] vs head-merge+reverse)."""
+
+    dim: int
+    num_heads: int
+    window: tuple
+    shift: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        B_, D_, H_, W_, C_ = x.shape
+        window, shift = _clip_window((D_, H_, W_), self.window, self.shift)
+        wd, wh, ww = window
+        h = self.num_heads
+        d = C_ // h
+        N = wd * wh * ww
+        nt, nh, nw = D_ // wd, H_ // wh, W_ // ww
+        nW = nt * nh * nw
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+            mask = shifted_window_mask((D_, H_, W_), window, shift)
+        else:
+            mask = None
+        qkv = nn.Dense(3 * C_, dtype=self.dtype, name="attn_qkv")(x)
+        qkv = qkv.reshape(B_, nt, wd, nh, wh, nw, ww, 3, h, d)
+        # ONE relayout: -> [3, B, nt, nh, nw, h, wd, wh, ww, d]
+        qkv = qkv.transpose(7, 0, 1, 3, 5, 8, 2, 4, 6, 9)
+        qkv = qkv.reshape(3, B_ * nW, h, N, d)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        table = self.param("attn_relative_position_bias_table",
+                           nn.initializers.truncated_normal(0.02), (table_size, h), jnp.float32)
+        bias = _bias_for(self.window, h, N, table)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d ** -0.5) + bias[None].astype(scores.dtype)
+        if mask is not None:
+            scores = scores.reshape(B_, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+            scores = scores.reshape(B_ * nW, h, N, N)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        # ONE relayout back: [B,nt,nh,nw,h,wd,wh,ww,d] -> [B,D,H,W,C]
+        out = out.reshape(B_, nt, nh, nw, h, wd, wh, ww, d)
+        out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
+        out = out.reshape(B_, D_, H_, W_, C_)
+        out = nn.Dense(C_, dtype=self.dtype, name="attn_proj")(out)
+        if any(s > 0 for s in shift):
+            out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+        x = shortcut + out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * MLP_RATIO), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
 class Stage(nn.Module):
     """DEPTH blocks with alternating spatial shift, like a Swin stage."""
 
@@ -211,6 +275,8 @@ def build(variant: str, remat: bool):
         block_cls = BlockEH
     elif variant == "blocked":
         block_cls = BlockBlocked
+    elif variant == "fold":
+        block_cls = BlockFold
     else:
         raise SystemExit(f"unknown variant {variant}")
     return Stage(block_cls, remat=remat)

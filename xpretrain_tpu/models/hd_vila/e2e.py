@@ -45,6 +45,9 @@ class HdVilaEncoderConfig:
     # ``with_cp`` option); needed to fit the reference per-chip batch (16)
     # of the stage-1/2 train steps in one v5e's 16 GB HBM
     remat: bool = False
+    # space-to-depth stem for both ResNets (same ``conv1/kernel`` params,
+    # bit-equivalent output; raises stem MXU occupancy — see resnet.StemConv)
+    s2d_stem: bool = False
 
     @staticmethod
     def tiny(**overrides) -> "HdVilaEncoderConfig":
@@ -65,8 +68,14 @@ class HdVilaEncoder(nn.Module):
 
     def setup(self) -> None:
         cfg = self.config
-        self.cnn = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat)
-        self.cnn_low = ResNet(depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat)
+        self.cnn = ResNet(
+            depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat,
+            s2d_stem=cfg.s2d_stem,
+        )
+        self.cnn_low = ResNet(
+            depth=cfg.resnet_depth, dtype=cfg.dtype, remat=cfg.remat,
+            s2d_stem=cfg.s2d_stem,
+        )
         conv1x1 = lambda feats, name: nn.Conv(
             feats, (1, 1), use_bias=False, dtype=cfg.dtype, name=name
         )

@@ -113,6 +113,55 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """The 7×7/s2 stem conv, optionally computed as a space-to-depth
+    4×4/s1 conv (the MLPerf-ResNet TPU stem transform).
+
+    The parameter stays the reference-layout ``(7,7,in,64)`` kernel (so
+    checkpoints and the converter are unchanged); in s2d mode the kernel is
+    zero-padded to 8×8 and re-blocked at forward time (64·192 floats —
+    negligible), and the input is 2×2 space-to-depth'd so the MXU sees 12
+    input channels instead of 3. Bit-identical to the direct conv (see
+    tests/test_hdvila_encoder.py::test_s2d_stem_equivalence).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # x: NHWC
+        in_c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, in_c, self.features),
+            jnp.float32,
+        )
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        B, H, W, C = x.shape
+        # out[i,j] = Σ w7[di,dj]·x[2i+di−3, 2j+dj−3].  Pad the kernel to 8×8
+        # with a zero leading row/col (w8[d]=w7[d−1]) and the input by
+        # (4 left, 2 right) so indices align to 2×2 blocks, then contract the
+        # block parity into channels: a 4×4 VALID conv over [H/2, W/2, 4C].
+        w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w = w8.reshape(4, 2, 4, 2, in_c, self.features)
+        w = w.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * in_c, self.features)
+        x = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        Hp, Wp = x.shape[1], x.shape[2]
+        x = x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+
 class ResNet(nn.Module):
     """Input NCHW (reference convention); internally NHWC for TPU convs."""
 
@@ -123,6 +172,9 @@ class ResNet(nn.Module):
     # per-block rematerialization, the TPU analogue of the reference's
     # ``with_cp`` torch.utils.checkpoint option (resnet_mmdetection.py:182-183)
     remat: bool = False
+    # compute the 7×7/s2 stem as a space-to-depth 4×4/s1 conv (same params,
+    # same output; raises the stem's MXU occupancy on 3-channel inputs)
+    s2d_stem: bool = False
 
     def setup(self) -> None:
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
@@ -149,14 +201,8 @@ class ResNet(nn.Module):
                 )
             blocks.append(stage)
         self.stages = blocks
-        self.conv1 = nn.Conv(
-            self.base_channels,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
+        self.conv1 = StemConv(
+            self.base_channels, dtype=self.dtype, s2d=self.s2d_stem, name="conv1"
         )
         self.bn1 = FrozenBatchNorm(self.base_channels, name="bn1", dtype=self.dtype)
 
