@@ -197,3 +197,22 @@ def test_lfvila_pretrain_dataset_real_encoded_videos(tmp_path):
     assert batch["video_frames"].shape == (2, 3, 8, 48, 64)
     assert batch["text_ids"].shape == (2, 4, 8)
     assert "mlm_labels" in batch
+
+
+def test_attn_fold_layout_equivalence():
+    """The fold attention layout (one combined partition+head-split relayout,
+    Swin3DConfig.attn_fold) is numerically identical to the base layout for
+    the same params — shifted and unshifted blocks, local branch included."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 48, 80), jnp.float32)
+    base = SwinTransformer3D(Swin3DConfig.tiny())
+    fold = SwinTransformer3D(Swin3DConfig.tiny(attn_fold=True))
+    params = base.init(jax.random.PRNGKey(1), x)
+    g_b, l_b = base.apply(params, x)
+    g_f, l_f = fold.apply(params, x)
+    assert jnp.allclose(g_b, g_f, atol=2e-5), float(jnp.abs(g_b - g_f).max())
+    assert jnp.allclose(l_b, l_f, atol=2e-5)

@@ -51,6 +51,10 @@ BENCHES = {
     # dots_saveable policy fits single-chip ONLY with bf16 moments (681 ms
     # row) — with fp32 moments it ResourceExhausts (PERF.md "Selective remat")
     "lfvila_train": (bench_report.bench_lfvila_train, {"remat": True}),
+    # r4-verdict #1 lever: fold attention layout (one combined
+    # partition+head-split relayout; bit-identical outputs)
+    "lfvila_train_fold": (bench_report.bench_lfvila_train,
+                          {"remat": True, "attn_fold": True}),
     "lfvila_train_bf16m": (bench_report.bench_lfvila_train,
                            {"remat": True, "remat_policy": "dots_saveable",
                             "moment_dtype": "bfloat16"}),
@@ -67,6 +71,9 @@ BENCHES = {
                                  {"remat": True, "remat_policy": "dots_saveable",
                                   "moment_dtype": "bfloat16",
                                   "param_dtype": "bfloat16"}),
+    # r4-verdict #5 lever: space-to-depth stem (bit-equivalent re-blocked
+    # conv1; raises stem MXU occupancy on 3-channel 640×1024 inputs)
+    "hdvila_train_s2d": (bench_report.bench_hdvila_train, {"s2d_stem": True}),
     "hdvila_train_s2": (bench_report.bench_hdvila_train_stage2, {"batch": 8}),
     "hdvila_train_s2_b16": (bench_report.bench_hdvila_train_stage2, {}),
     # the r3-verdict #5 stand-in for the uncompilable b=16 recipe: 2 MultiSteps

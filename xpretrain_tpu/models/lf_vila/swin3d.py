@@ -71,6 +71,11 @@ class Swin3DConfig:
     # early-stage windows where per-(window, head) micro-kernels lose badly.
     use_pallas_attention: bool = False
     pallas_min_window: int = 240
+    # "fold" attention layout: one combined partition+head-split relayout of
+    # the qkv tensor instead of partition copy + head transpose (and one
+    # relayout back). Bit-identical params and outputs; a pure HLO-layout
+    # A/B for the data-formatting share of the step (r4 verdict #1).
+    attn_fold: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     # Selective-rematerialization policy (name of a ``jax.checkpoint_policies``
@@ -185,17 +190,14 @@ class WindowAttention3D(nn.Module):
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # "fold" layout: the caller passes the UNPARTITIONED [B,Dp,Hp,Wp,C]
+    # tensor; qkv is computed pointwise on it and the window partition +
+    # head split fold into ONE relayout of the qkv tensor (and one back),
+    # replacing base's partition copy + head transpose + head merge +
+    # reverse. Same params, bit-identical output (test_swin3d.py).
+    fold: bool = False
 
-    @nn.compact
-    def __call__(
-        self,
-        x: Array,  # [B·nW, N, C]; N may be smaller than the full window size
-        mask: Optional[np.ndarray] = None,  # [nW, N, N] static
-        deterministic: bool = True,
-    ) -> Array:
-        Bn, N, C = x.shape
-        h = self.num_heads
-        d = C // h
+    def _bias(self, N: int, h: int) -> Array:
         table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
         bias_table = self.param(
             "relative_position_bias_table",
@@ -203,30 +205,67 @@ class WindowAttention3D(nn.Module):
             (table_size, h),
             jnp.float32,
         )
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, h, N, d]
         rel_idx = relative_position_index(self.window)[:N, :N]
-        bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        return bias_table[rel_idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
+    def _attend(self, q, k, v, bias, mask, d, deterministic):
+        """[Bn,h,N,d] q/k/v -> [Bn,h,N,d] context (shared by both layouts)."""
+        Bn, h, N, _ = q.shape
         if self.use_pallas and (self.attn_drop == 0.0 or deterministic):
             from xpretrain_tpu.ops.window_attention import window_attention
 
             m = None if mask is None else jnp.asarray(mask)
-            out = window_attention(q, k, v, bias, m)
-        else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            scores = scores * (d**-0.5)
-            scores = scores + bias[None].astype(scores.dtype)
-            if mask is not None:
-                nW = mask.shape[0]
-                scores = scores.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
-                scores = scores.reshape(Bn, h, N, N)
-            weights = jax.nn.softmax(scores, axis=-1)
-            weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic).astype(
-                v.dtype
+            return window_attention(q, k, v, bias, m)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d**-0.5)
+        scores = scores + bias[None].astype(scores.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            scores = scores.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+            scores = scores.reshape(Bn, h, N, N)
+        weights = jax.nn.softmax(scores, axis=-1)
+        weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic).astype(
+            v.dtype
+        )
+        return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # [B·nW, N, C]; or [B, Dp, Hp, Wp, C] when fold=True
+        mask: Optional[np.ndarray] = None,  # [nW, N, N] static
+        deterministic: bool = True,
+        clipped_window: Optional[tuple[int, int, int]] = None,  # fold mode only
+    ) -> Array:
+        h = self.num_heads
+        if self.fold:
+            B, Dp, Hp, Wp, C = x.shape
+            wd, wh, ww = clipped_window
+            nt, nh, nw = Dp // wd, Hp // wh, Wp // ww
+            nW = nt * nh * nw
+            N = wd * wh * ww
+            d = C // h
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+            qkv = qkv.reshape(B, nt, wd, nh, wh, nw, ww, 3, h, d)
+            # ONE relayout: -> [3, B, nt, nh, nw, h, wd, wh, ww, d]
+            qkv = qkv.transpose(7, 0, 1, 3, 5, 8, 2, 4, 6, 9)
+            qkv = qkv.reshape(3, B * nW, h, N, d)
+            out = self._attend(
+                qkv[0], qkv[1], qkv[2], self._bias(N, h), mask, d, deterministic
             )
-            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+            # ONE relayout back: [Bn,h,N,d] -> [B, Dp, Hp, Wp, C]
+            out = out.reshape(B, nt, nh, nw, h, wd, wh, ww, d)
+            out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
+            out = out.reshape(B, Dp, Hp, Wp, C)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        Bn, N, C = x.shape
+        d = C // h
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
+        out = self._attend(
+            qkv[0], qkv[1], qkv[2], self._bias(N, h), mask, d, deterministic
+        )
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -258,6 +297,7 @@ class SwinBlock3D(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -279,8 +319,7 @@ class SwinBlock3D(nn.Module):
         else:
             mask = None
 
-        windows = window_partition(x, window)
-        attn = WindowAttention3D(
+        attn_mod = WindowAttention3D(
             self.dim,
             self.window,
             self.num_heads,
@@ -288,9 +327,14 @@ class SwinBlock3D(nn.Module):
             self.attn_drop,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            fold=self.fold,
             name="attn",
-        )(windows, mask, deterministic)
-        x = window_reverse(attn, window, B, Dp, Hp, Wp)
+        )
+        if self.fold:
+            x = attn_mod(x, mask, deterministic, clipped_window=window)
+        else:
+            windows = attn_mod(window_partition(x, window), mask, deterministic)
+            x = window_reverse(windows, window, B, Dp, Hp, Wp)
 
         if any(s > 0 for s in shift):
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
@@ -445,6 +489,7 @@ class SwinTransformer3D(nn.Module):
                     dtype=cfg.dtype,
                     use_pallas=cfg.use_pallas_attention
                     and window_tokens >= cfg.pallas_min_window,
+                    fold=cfg.attn_fold,
                     name=f"layers_{i_layer}_blocks_{b}",
                 )(x, deterministic)
                 block_idx += 1
