@@ -33,9 +33,16 @@ V5E_HBM_BPS = 819e9  # TPU v5e HBM bandwidth ceiling (bytes/s)
 
 def enable_compile_cache(path: str = "/tmp/jax_compile_cache") -> None:
     """Persistent XLA compile cache: LF-VILA-scale steps cold-compile in
-    10-25 min on this toolchain (PERF.md); warm reruns skip that."""
+    10-25 min on this toolchain (PERF.md); warm reruns skip that.
+
+    ``XPT_NO_COMPILE_CACHE=1`` disables it — needed when a profiling run
+    must produce a matched (trace, --xla_dump_to HLO) pair: a cache hit
+    skips compilation, so the after-optimizations module (whose op names
+    the trace uses) is never dumped."""
     import jax
 
+    if os.environ.get("XPT_NO_COMPILE_CACHE") == "1":
+        return
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

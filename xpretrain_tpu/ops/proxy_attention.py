@@ -99,6 +99,17 @@ def _head_group(
     scoped-vmem limit per the empirical model above. The stack
     constraint is what caps HG at long S (e.g. B/16's S=2356 → HG=3).
     """
+    import os
+
+    override = os.environ.get("XPT_PROXY_HG")
+    if override:
+        # perf-sweep hook (tools/bench_proxy_hg.py): force a head-group size;
+        # clamped to a divisor of H, NOT to the VMEM model — an infeasible
+        # value surfaces as a compile failure (a measured-negative data point)
+        hg = max(1, min(int(override), H))
+        while H % hg:
+            hg -= 1
+        return hg
     per_head = n_bufs * S * D * 2
     hg = max(1, _VMEM_BUDGET_BYTES // per_head)
     hg = min(hg, max(1, stack_limit_bytes // (stack_bytes_per_elem * S * D)))
