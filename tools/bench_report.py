@@ -71,9 +71,27 @@ def _maybe_trace(run_once):
 
 
 def cost_of(jitted, *args) -> tuple[float, float]:
-    """(analytic FLOPs, bytes accessed) of a jitted callable on example args."""
+    """(analytic FLOPs, bytes accessed) of a jitted callable on example args.
+
+    When ``XPT_HLO_TEXT_DIR`` is set, also writes the optimized HLO text of
+    the compiled executable there (``moduleNN.txt``) — the op names match
+    the device trace's (same executable), so profiler rows like
+    ``copy.17135`` can be attributed to source via their ``metadata``
+    (op_name + source_file/line). This is the client-side stand-in for
+    ``--xla_dump_to``, which lands on the far side of the axon tunnel.
+    """
     try:
-        analysis = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+        hlo_dir = os.environ.get("XPT_HLO_TEXT_DIR")
+        if hlo_dir:
+            os.makedirs(hlo_dir, exist_ok=True)
+            n = len([f for f in os.listdir(hlo_dir) if f.endswith(".txt")])
+            try:
+                with open(os.path.join(hlo_dir, f"module{n:02d}.txt"), "w") as f:
+                    f.write(compiled.as_text())
+            except Exception:  # pragma: no cover - backend without as_text
+                pass
+        analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         return float(analysis.get("flops", 0.0)), float(analysis.get("bytes accessed", 0.0))

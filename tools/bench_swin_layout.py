@@ -49,11 +49,26 @@ from xpretrain_tpu.models.lf_vila.swin3d import (  # noqa: E402
     _clip_window,
 )
 
-# production stage-2 shape: B=16 clips, [B, 32, 6, 10, 512], 14 blocks,
-# heads=16, window (8,3,5), spatial-only alternating shift
-B, T, H, W, C = 16, 32, 6, 10, 512
+# production LF-VILA stage shapes (b=16 clips, 32f 192×320). The r5 trace
+# attribution (PERF_MEASURED.md) put the worst-padded relayouts in stages
+# 0-1 (qkv copies bf16[16384,30,3,4,32]: trailing (4,32) tiles to (8,128) =
+# 8× physical traffic; stage-0 scores f32[·,4,30,30]: 30→128 lanes = 4.3×),
+# so the bench is stage-parameterized (--stage).
+STAGES = {
+    # stage: (T, H, W, C, heads, window, depth)
+    0: (32, 24, 40, 128, 4, (2, 3, 5), 2),
+    1: (32, 12, 20, 256, 8, (4, 3, 5), 2),
+    2: (32, 6, 10, 512, 16, (8, 3, 5), 14),
+}
+B = 16
+T, H, W, C = 32, 6, 10, 512
 HEADS, WINDOW, DEPTH = 16, (8, 3, 5), 14
 MLP_RATIO = 4.0
+
+
+def set_stage(stage: int) -> None:
+    global T, H, W, C, HEADS, WINDOW, DEPTH
+    T, H, W, C, HEADS, WINDOW, DEPTH = STAGES[stage]
 
 
 def _bias_for(window, h, N, table):
@@ -248,6 +263,106 @@ class BlockFold(nn.Module):
         return x + y
 
 
+def _grouped_masks(dims, window, shift, G):
+    """np [n_groups_per_image, G·N, G·N] additive mask: the per-window
+    shifted-window masks on the diagonal blocks, −100 off-block (windows in
+    a group must not attend each other). Window order in
+    ``shifted_window_mask`` is (nt, nh, nw) flattened, so G consecutive
+    windows share (nt, nh) — grouping along the W window axis."""
+    D_, H_, W_ = dims
+    wd, wh, ww = window
+    N = wd * wh * ww
+    nW = (D_ // wd) * (H_ // wh) * (W_ // ww)
+    if any(s > 0 for s in shift):
+        m = shifted_window_mask(dims, window, shift)
+    else:
+        m = np.zeros((nW, N, N), np.float32)
+    m = m.reshape(nW // G, G, N, N)
+    out = np.full((nW // G, G * N, G * N), -100.0, np.float32)
+    for g in range(G):
+        out[:, g * N : (g + 1) * N, g * N : (g + 1) * N] = m[:, g]
+    return out
+
+
+def _pick_group(nw: int, N: int, target: int = 128) -> int:
+    """Largest divisor of ``nw`` with G·N ≤ target lanes."""
+    g = 1
+    for cand in range(1, nw + 1):
+        if nw % cand == 0 and cand * N <= target:
+            g = cand
+    return g
+
+
+class BlockGFoldT(nn.Module):
+    """Grouped, d-major fold variant — the r5 trace-driven layout:
+
+    1. qkv computed pointwise pre-partition (as in fold);
+    2. ONE relayout straight into **d-major grouped** form
+       [3, B·nW/G, h, d, G·N]: trailing dims (d=32, G·N≈120) tile near-
+       losslessly vs base's [.., N, 3, h, d] whose (h, d)=(4,32)→(8,128)
+       tiling moves 8× physical bytes at stage 0;
+    3. G consecutive windows attend as ONE score matrix [h, GN, GN]
+       (lane-aligned, vs N=30→128 = 4.3× pad) under a static block-diagonal
+       mask — more MXU work per op, ~4× fewer padded bytes.
+    """
+
+    dim: int
+    num_heads: int
+    window: tuple
+    shift: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        B_, D_, H_, W_, C_ = x.shape
+        window, shift = _clip_window((D_, H_, W_), self.window, self.shift)
+        wd, wh, ww = window
+        h = self.num_heads
+        d = C_ // h
+        N = wd * wh * ww
+        nt, nh, nw = D_ // wd, H_ // wh, W_ // ww
+        G = _pick_group(nw, N)
+        nw1 = nw // G
+        GN = G * N
+        ngroups = nt * nh * nw1
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+        gmask = _grouped_masks((D_, H_, W_), window, shift, G)  # [ngroups?, GN, GN]
+        qkv = nn.Dense(3 * C_, dtype=self.dtype, name="attn_qkv")(x)
+        qkv = qkv.reshape(B_, nt, wd, nh, wh, nw1, G, ww, 3, h, d)
+        # ONE relayout -> [3, B, nt, nh, nw1, h, d, G, wd, wh, ww]
+        qkv = qkv.transpose(8, 0, 1, 3, 5, 9, 10, 6, 2, 4, 7)
+        qkv = qkv.reshape(3, B_ * ngroups, h, d, GN)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        table = self.param("attn_relative_position_bias_table",
+                           nn.initializers.truncated_normal(0.02), (table_size, h), jnp.float32)
+        bias = _bias_for(self.window, h, N, table)  # [h, N, N]
+        # block-diagonal bias (off-blocks get −100 from gmask anyway)
+        bias_bd = jnp.einsum("gk,hij->hgikj", jnp.eye(G, dtype=bias.dtype), bias)
+        bias_bd = bias_bd.reshape(h, GN, GN)
+        scores = jnp.einsum("bhdq,bhdk->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d ** -0.5) + bias_bd[None].astype(scores.dtype)
+        scores = scores.reshape(B_, ngroups, h, GN, GN) + jnp.asarray(gmask)[None, :, None]
+        scores = scores.reshape(B_ * ngroups, h, GN, GN)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhdk->bhdq", w, v)  # [Bg, h, d, GN]
+        out = out.reshape(B_, nt, nh, nw1, h, d, G, wd, wh, ww)
+        out = out.transpose(0, 1, 7, 2, 8, 3, 6, 9, 4, 5)
+        out = out.reshape(B_, D_, H_, W_, C_)
+        out = nn.Dense(C_, dtype=self.dtype, name="attn_proj")(out)
+        if any(s > 0 for s in shift):
+            out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+        x = shortcut + out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * MLP_RATIO), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
 class Stage(nn.Module):
     """DEPTH blocks with alternating spatial shift, like a Swin stage."""
 
@@ -277,6 +392,8 @@ def build(variant: str, remat: bool):
         block_cls = BlockBlocked
     elif variant == "fold":
         block_cls = BlockFold
+    elif variant == "gfoldt":
+        block_cls = BlockGFoldT
     else:
         raise SystemExit(f"unknown variant {variant}")
     return Stage(block_cls, remat=remat)
@@ -332,16 +449,20 @@ def main():
     enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+", default=["base", "eh", "blocked"])
+    ap.add_argument("--stage", type=int, default=2, choices=sorted(STAGES))
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--trace_dir", default="")
     args = ap.parse_args()
+    set_stage(args.stage)
     for v in args.variants:
         import gc
 
         gc.collect()
         jax.clear_caches()
-        print(json.dumps(bench_variant(v, args.remat, args.k, args.trace_dir)), flush=True)
+        row = bench_variant(v, args.remat, args.k, args.trace_dir)
+        row["stage"] = args.stage
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
