@@ -363,6 +363,69 @@ class BlockGFoldT(nn.Module):
         return x + y
 
 
+class BlockGrouped(nn.Module):
+    """Grouped scores WITHOUT the fold relayout: keep base's partition +
+    head-split transposes (XLA handles them tolerably), but merge G
+    consecutive windows into one attention via the FREE reshape
+    [B·nW, N, C] -> [B·nW/G, G·N, C] (adjacent windows are contiguous in
+    Bn) under a static block-diagonal mask. Fixes only the score-side
+    padding (N=30 -> G·N=120 lanes) and raises the attention dot's MXU
+    occupancy; qkv relayouts unchanged."""
+
+    dim: int
+    num_heads: int
+    window: tuple
+    shift: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        B_, D_, H_, W_, C_ = x.shape
+        window, shift = _clip_window((D_, H_, W_), self.window, self.shift)
+        wd, wh, ww = window
+        h = self.num_heads
+        d = C_ // h
+        N = wd * wh * ww
+        nw = W_ // ww
+        G = _pick_group(nw, N)
+        GN = G * N
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+        gmask = _grouped_masks((D_, H_, W_), window, shift, G)  # [ngroups, GN, GN]
+        windows = window_partition(x, window)  # [B·nW, N, C]
+        Bn = windows.shape[0]
+        grouped = windows.reshape(Bn // G, GN, C_)  # FREE: windows contiguous
+        qkv = nn.Dense(3 * C_, dtype=self.dtype, name="attn_qkv")(grouped)
+        qkv = qkv.reshape(Bn // G, GN, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bg, h, GN, d]
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        table = self.param("attn_relative_position_bias_table",
+                           nn.initializers.truncated_normal(0.02), (table_size, h), jnp.float32)
+        bias = _bias_for(self.window, h, N, table)  # [h, N, N]
+        bias_bd = jnp.einsum("gk,hij->hgikj", jnp.eye(G, dtype=bias.dtype), bias)
+        bias_bd = bias_bd.reshape(h, GN, GN)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d ** -0.5) + bias_bd[None].astype(scores.dtype)
+        ngroups = gmask.shape[0]
+        scores = scores.reshape(B_, ngroups, h, GN, GN) + jnp.asarray(gmask)[None, :, None]
+        scores = scores.reshape(Bn // G, h, GN, GN)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C_)
+        out = nn.Dense(C_, dtype=self.dtype, name="attn_proj")(out)
+        out = window_reverse(out, window, B_, D_, H_, W_)
+        if any(s > 0 for s in shift):
+            out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+        x = shortcut + out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * MLP_RATIO), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
 class Stage(nn.Module):
     """DEPTH blocks with alternating spatial shift, like a Swin stage."""
 
@@ -394,6 +457,8 @@ def build(variant: str, remat: bool):
         block_cls = BlockFold
     elif variant == "gfoldt":
         block_cls = BlockGFoldT
+    elif variant == "grouped":
+        block_cls = BlockGrouped
     else:
         raise SystemExit(f"unknown variant {variant}")
     return Stage(block_cls, remat=remat)
