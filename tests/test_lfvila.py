@@ -216,3 +216,22 @@ def test_attn_fold_layout_equivalence():
     g_f, l_f = fold.apply(params, x)
     assert jnp.allclose(g_b, g_f, atol=2e-5), float(jnp.abs(g_b - g_f).max())
     assert jnp.allclose(l_b, l_f, atol=2e-5)
+
+
+def test_group_windows_equivalence():
+    """Window grouping (Swin3DConfig.group_windows) — G consecutive windows
+    attending as one block-diagonally-masked call — matches the ungrouped
+    encoder numerically for the same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 48, 80), jnp.float32)
+    base = SwinTransformer3D(Swin3DConfig.tiny())
+    grp = SwinTransformer3D(Swin3DConfig.tiny(group_windows=True))
+    params = base.init(jax.random.PRNGKey(1), x)
+    g_b, l_b = base.apply(params, x)
+    g_g, l_g = grp.apply(params, x)
+    assert jnp.allclose(g_b, g_g, atol=2e-5), float(jnp.abs(g_b - g_g).max())
+    assert jnp.allclose(l_b, l_g, atol=2e-5)

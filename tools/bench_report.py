@@ -342,7 +342,8 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
 
 
 def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
-                       moment_dtype=None, param_dtype=None, attn_fold=False):
+                       moment_dtype=None, param_dtype=None, attn_fold=False,
+                       group_windows=False):
     """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
     + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
     4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;
@@ -362,7 +363,8 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
     cfg = LfVilaConfig(dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, video=dataclasses.replace(
         cfg.video, dtype=jnp.bfloat16, remat=bool(remat),
-        remat_policy=remat_policy, attn_fold=attn_fold))
+        remat_policy=remat_policy, attn_fold=attn_fold,
+        group_windows=group_windows))
     model = LfVilaPretrain(cfg)
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(b, 3, 32, 192, 320)).astype(np.float32))
@@ -395,6 +397,8 @@ def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
     tag = " remat" if remat else ""
     if attn_fold:
         tag += " fold"
+    if group_windows:
+        tag += " grouped"
     if moment_dtype is not None:
         tag += " bf16-moments"
     if param_dtype is not None:

@@ -55,6 +55,9 @@ BENCHES = {
     # partition+head-split relayout; bit-identical outputs)
     "lfvila_train_fold": (bench_report.bench_lfvila_train,
                           {"remat": True, "attn_fold": True}),
+    # r5 winner candidate: lane-aligned grouped window attention
+    "lfvila_train_grouped": (bench_report.bench_lfvila_train,
+                             {"remat": True, "group_windows": True}),
     "lfvila_train_bf16m": (bench_report.bench_lfvila_train,
                            {"remat": True, "remat_policy": "dots_saveable",
                             "moment_dtype": "bfloat16"}),

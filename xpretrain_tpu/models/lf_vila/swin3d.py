@@ -75,7 +75,12 @@ class Swin3DConfig:
     # the qkv tensor instead of partition copy + head transpose (and one
     # relayout back). Bit-identical params and outputs; a pure HLO-layout
     # A/B for the data-formatting share of the step (r4 verdict #1).
+    # MEASURED NEGATIVE on v5e (PERF.md) — kept for reproducibility.
     attn_fold: bool = False
+    # window grouping (``pick_window_group``): merge G consecutive windows
+    # into one lane-aligned attention under a static block-diagonal mask.
+    # Bit-identical params/outputs; measured +23% on the stage-0 block.
+    group_windows: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     # Selective-rematerialization policy (name of a ``jax.checkpoint_policies``
@@ -159,6 +164,47 @@ def relative_position_index(window: tuple[int, int, int]) -> np.ndarray:
     return rel.sum(-1)
 
 
+def pick_window_group(nw: int, N: int, target: int = 128) -> int:
+    """Largest divisor of ``nw`` (W-axis window count) with G·N ≤ target.
+
+    Window grouping (r5, measured +23% on the stage-0 block on v5e): N=30
+    token windows tile to 128 lanes, so score/softmax tensors move ~4× their
+    logical bytes; merging G consecutive windows into one [G·N, G·N]
+    attention under a static block-diagonal mask lane-aligns them. The
+    group merge itself is a FREE reshape — windows are contiguous in the
+    partitioned batch axis."""
+    g = 1
+    for cand in range(1, nw + 1):
+        if nw % cand == 0 and cand * N <= target:
+            g = cand
+    return g
+
+
+def grouped_window_mask(
+    dims: tuple[int, int, int],
+    window: tuple[int, int, int],
+    shift: tuple[int, int, int],
+    G: int,
+) -> np.ndarray:
+    """Static [nW/G, G·N, G·N] additive mask: per-window shifted-window
+    masks on the diagonal blocks, −100 off-block (grouped windows must not
+    attend each other). Window order in ``shifted_window_mask`` is
+    (nt, nh, nw) flattened, so G consecutive windows share (nt, nh)."""
+    D, H, W = dims
+    wd, wh, ww = window
+    N = wd * wh * ww
+    nW = (D // wd) * (H // wh) * (W // ww)
+    if any(s > 0 for s in shift):
+        m = shifted_window_mask(dims, window, shift)
+    else:
+        m = np.zeros((nW, N, N), np.float32)
+    m = m.reshape(nW // G, G, N, N)
+    out = np.full((nW // G, G * N, G * N), -100.0, np.float32)
+    for g in range(G):
+        out[:, g * N : (g + 1) * N, g * N : (g + 1) * N] = m[:, g]
+    return out
+
+
 def shifted_window_mask(
     dims: tuple[int, int, int], window: tuple[int, int, int], shift: tuple[int, int, int]
 ) -> np.ndarray:
@@ -195,7 +241,14 @@ class WindowAttention3D(nn.Module):
     # head split fold into ONE relayout of the qkv tensor (and one back),
     # replacing base's partition copy + head transpose + head merge +
     # reverse. Same params, bit-identical output (test_swin3d.py).
+    # MEASURED NEGATIVE on v5e (PERF.md: full step 1032 vs 715 ms — XLA
+    # handles the two-step relayout better than one 10-D transpose); kept
+    # for reproducibility of that measurement.
     fold: bool = False
+    # windows per attention call (see ``pick_window_group``): the input is
+    # [B·nW/G, G·N, C] and the bias block-diagonalizes. Caller must pass a
+    # grouped mask (``grouped_window_mask``) whenever group > 1.
+    group: int = 1
 
     def _bias(self, N: int, h: int) -> Array:
         table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
@@ -263,9 +316,13 @@ class WindowAttention3D(nn.Module):
         d = C // h
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
-        out = self._attend(
-            qkv[0], qkv[1], qkv[2], self._bias(N, h), mask, d, deterministic
-        )
+        if self.group > 1:
+            bias = self._bias(N // self.group, h)
+            eye = jnp.eye(self.group, dtype=bias.dtype)
+            bias = jnp.einsum("gk,hij->hgikj", eye, bias).reshape(h, N, N)
+        else:
+            bias = self._bias(N, h)
+        out = self._attend(qkv[0], qkv[1], qkv[2], bias, mask, d, deterministic)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -298,6 +355,7 @@ class SwinBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     fold: bool = False
+    group_windows: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -313,8 +371,15 @@ class SwinBlock3D(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
 
-        if any(s > 0 for s in shift):
+        shifted = any(s > 0 for s in shift)
+        if shifted:
             x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+
+        N = window[0] * window[1] * window[2]
+        G = pick_window_group(Wp // window[2], N) if self.group_windows else 1
+        if G > 1:
+            mask = grouped_window_mask((Dp, Hp, Wp), window, shift, G)
+        elif shifted:
             mask = shifted_window_mask((Dp, Hp, Wp), window, shift)
         else:
             mask = None
@@ -328,12 +393,18 @@ class SwinBlock3D(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             fold=self.fold,
+            group=G,
             name="attn",
         )
         if self.fold:
             x = attn_mod(x, mask, deterministic, clipped_window=window)
         else:
-            windows = attn_mod(window_partition(x, window), mask, deterministic)
+            windows = window_partition(x, window)  # [B·nW, N, C]
+            if G > 1:  # FREE merge: grouped windows are contiguous in Bn
+                windows = windows.reshape(windows.shape[0] // G, G * N, C)
+            windows = attn_mod(windows, mask, deterministic)
+            if G > 1:
+                windows = windows.reshape(-1, N, C)
             x = window_reverse(windows, window, B, Dp, Hp, Wp)
 
         if any(s > 0 for s in shift):
@@ -490,6 +561,7 @@ class SwinTransformer3D(nn.Module):
                     use_pallas=cfg.use_pallas_attention
                     and window_tokens >= cfg.pallas_min_window,
                     fold=cfg.attn_fold,
+                    group_windows=cfg.group_windows,
                     name=f"layers_{i_layer}_blocks_{b}",
                 )(x, deterministic)
                 block_idx += 1
