@@ -426,6 +426,68 @@ class BlockGrouped(nn.Module):
         return x + y
 
 
+class BlockGDMajor(nn.Module):
+    """Grouped + d-major head split: like BlockGrouped but the qkv relayout
+    is the 5-D transpose [Bg,GN,3,h,d] -> [3,Bg,h,d,GN], so the materialized
+    q/k/v trailing dims are (d=32, GN~120) — near-lossless tiling vs the
+    (GN,d)=(120,32)->(120,128) 4x pad of the canonical layout. Scores
+    contract the sublane dim ("bhdq,bhdk->bhqk" — the MXU-native K-major
+    operand layout)."""
+
+    dim: int
+    num_heads: int
+    window: tuple
+    shift: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        B_, D_, H_, W_, C_ = x.shape
+        window, shift = _clip_window((D_, H_, W_), self.window, self.shift)
+        wd, wh, ww = window
+        h = self.num_heads
+        d = C_ // h
+        N = wd * wh * ww
+        nw = W_ // ww
+        G = _pick_group(nw, N)
+        GN = G * N
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+        gmask = _grouped_masks((D_, H_, W_), window, shift, G)
+        windows = window_partition(x, window)
+        Bn = windows.shape[0]
+        grouped = windows.reshape(Bn // G, GN, C_)
+        qkv = nn.Dense(3 * C_, dtype=self.dtype, name="attn_qkv")(grouped)
+        qkv = qkv.reshape(Bn // G, GN, 3, h, d).transpose(2, 0, 3, 4, 1)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [Bg, h, d, GN]
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        table = self.param("attn_relative_position_bias_table",
+                           nn.initializers.truncated_normal(0.02), (table_size, h), jnp.float32)
+        bias = _bias_for(self.window, h, N, table)
+        bias_bd = jnp.einsum("gk,hij->hgikj", jnp.eye(G, dtype=bias.dtype), bias)
+        bias_bd = bias_bd.reshape(h, GN, GN)
+        scores = jnp.einsum("bhdq,bhdk->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (d ** -0.5) + bias_bd[None].astype(scores.dtype)
+        ngroups = gmask.shape[0]
+        scores = scores.reshape(B_, ngroups, h, GN, GN) + jnp.asarray(gmask)[None, :, None]
+        scores = scores.reshape(Bn // G, h, GN, GN)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhdk->bhdq", w, v)  # [Bg, h, d, GN]
+        out = out.transpose(0, 3, 1, 2).reshape(Bn, N, C_)
+        out = nn.Dense(C_, dtype=self.dtype, name="attn_proj")(out)
+        out = window_reverse(out, window, B_, D_, H_, W_)
+        if any(s > 0 for s in shift):
+            out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+        x = shortcut + out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * MLP_RATIO), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
 class Stage(nn.Module):
     """DEPTH blocks with alternating spatial shift, like a Swin stage."""
 
@@ -459,6 +521,8 @@ def build(variant: str, remat: bool):
         block_cls = BlockGFoldT
     elif variant == "grouped":
         block_cls = BlockGrouped
+    elif variant == "gdmajor":
+        block_cls = BlockGDMajor
     else:
         raise SystemExit(f"unknown variant {variant}")
     return Stage(block_cls, remat=remat)
