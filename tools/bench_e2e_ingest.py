@@ -377,17 +377,22 @@ def measure_coupled(pipe, workers: int, n_steps: int) -> dict:
     }
 
 
-def pack_corpus(video_root: str, packed_root: str) -> float:
+def pack_corpus(video_root: str, packed_root: str, height: int = 0) -> float:
     """Pre-decode every corpus video into the packed npy frame store
     (``tools/decode_frames.py --format npy``, the offline-decode production
     path PERF.md prescribes). Returns the one-off pack wall time."""
     from tools.decode_frames import main as decode_main
 
     t0 = time.perf_counter()
-    decode_main([
+    args = [
         "--video_root", video_root, "--out_root", packed_root,
         "--format", "npy", "--fps", "1000",  # step=max(fps/1000,1): every frame
-    ])
+    ]
+    if height:
+        # production stores pack at (near-)training resolution so the
+        # per-item transform degenerates to a crop slice
+        args += ["--height", str(height)]
+    decode_main(args)
     return time.perf_counter() - t0
 
 
@@ -402,7 +407,7 @@ def run_family(name: str, args) -> dict:
             # the npy store; the loader then reads mmap'd frames (FrameSource
             # npy branch) instead of decoding video per item.
             packed_root = os.path.join(root, "_packed")
-            pack_s = pack_corpus(root, packed_root)
+            pack_s = pack_corpus(root, packed_root, args.pack_height)
             root = packed_root
         pipe = PIPELINES[name](root, args.tiny, corpus["n_videos"])
         out = {"family": name, "batch": pipe["batch"], "codec": args.codec,
@@ -427,6 +432,8 @@ def main():
     ap.add_argument("--host_batches", type=int, default=4)
     ap.add_argument("--codec", default="h264", choices=["mjpg", "h264", "mpeg4"])
     ap.add_argument("--tiny", action="store_true", help="tiny models (CPU test mode)")
+    ap.add_argument("--pack_height", type=int, default=0,
+                    help="pre-resize frames to this height in the packed store")
     ap.add_argument("--packed", action="store_true",
                     help="pre-decode the corpus to the npy frame store and "
                          "feed the train step from mmap'd frames (the "
