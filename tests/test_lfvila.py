@@ -228,7 +228,7 @@ def test_group_windows_equivalence():
     from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 48, 80), jnp.float32)
-    base = SwinTransformer3D(Swin3DConfig.tiny())
+    base = SwinTransformer3D(Swin3DConfig.tiny(group_windows=False))
     grp = SwinTransformer3D(Swin3DConfig.tiny(group_windows=True))
     params = base.init(jax.random.PRNGKey(1), x)
     g_b, l_b = base.apply(params, x)

@@ -343,7 +343,7 @@ def _train_scan_bench(model_apply_loss, params, batch_args, tx, K, iters=5):
 
 def bench_lfvila_train(quick=False, batch=None, remat=None, remat_policy=None,
                        moment_dtype=None, param_dtype=None, attn_fold=False,
-                       group_windows=False):
+                       group_windows=True):
     """FULL LF-VILA stage-1 pretrain step: Swin3D/HTWA + 3-stage BERT-large
     + InfoNCE + MTC, fwd+bwd+grouped-AdamW, reference recipe 32f 192×320 /
     4 clips, batch 16/chip (``LF-VILA/src/configs/pretrain_stage1.yaml:32-40``;

@@ -50,12 +50,14 @@ BENCHES = {
     # the PERF.md headline configs: full remat + fp32 (712 ms row); the
     # dots_saveable policy fits single-chip ONLY with bf16 moments (681 ms
     # row) — with fp32 moments it ResourceExhausts (PERF.md "Selective remat")
-    "lfvila_train": (bench_report.bench_lfvila_train, {"remat": True}),
+    "lfvila_train": (bench_report.bench_lfvila_train,
+                     {"remat": True, "group_windows": False}),
     # r4-verdict #1 lever: fold attention layout (one combined
     # partition+head-split relayout; bit-identical outputs)
     "lfvila_train_fold": (bench_report.bench_lfvila_train,
                           {"remat": True, "attn_fold": True}),
-    # r5 winner candidate: lane-aligned grouped window attention
+    # r5 winner (+12.8% whole-step, now the production default):
+    # lane-aligned grouped window attention
     "lfvila_train_grouped": (bench_report.bench_lfvila_train,
                              {"remat": True, "group_windows": True}),
     "lfvila_train_bf16m": (bench_report.bench_lfvila_train,

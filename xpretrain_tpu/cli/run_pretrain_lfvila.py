@@ -53,6 +53,10 @@ def lfvila_config_from(cfg) -> LfVilaConfig:
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         remat=bool(cfg.get("gradient_checkpointing", False)),
         remat_policy=cfg.get("remat_policy") or None,
+        # lane-aligned grouped window attention (numerically equivalent,
+        # +12.8% measured on the stage-1 step — PERF_MEASURED.md); config
+        # key "group_windows": 0 restores the ungrouped layout
+        group_windows=bool(ve.get("group_windows", True)),
     )
     bert_kw = dict(
         stage_bounds=(int(cfg.get("num_local_layers", 8)), int(cfg.get("stage1_layers", 12))),

@@ -79,8 +79,11 @@ class Swin3DConfig:
     attn_fold: bool = False
     # window grouping (``pick_window_group``): merge G consecutive windows
     # into one lane-aligned attention under a static block-diagonal mask.
-    # Bit-identical params/outputs; measured +23% on the stage-0 block.
-    group_windows: bool = False
+    # Identical params, numerically equivalent outputs. Measured on v5e:
+    # +23% on the stage-0 block (57.3 vs 74.6 ms), tie at stages 1-2, and
+    # +12.8% on the FULL stage-1 train step (634.3 vs 715.3 ms, b=16 —
+    # PERF_MEASURED.md). Default ON; set False for the ungrouped layout.
+    group_windows: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     # Selective-rematerialization policy (name of a ``jax.checkpoint_policies``
@@ -376,7 +379,10 @@ class SwinBlock3D(nn.Module):
             x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
 
         N = window[0] * window[1] * window[2]
-        G = pick_window_group(Wp // window[2], N) if self.group_windows else 1
+        # fold computes per-window scores in its combined-relayout path, so
+        # grouping (which widens the attention call to G·N) does not compose
+        group = self.group_windows and not self.fold
+        G = pick_window_group(Wp // window[2], N) if group else 1
         if G > 1:
             mask = grouped_window_mask((Dp, Hp, Wp), window, shift, G)
         elif shifted:
