@@ -235,3 +235,61 @@ def test_group_windows_equivalence():
     g_g, l_g = grp.apply(params, x)
     assert jnp.allclose(g_b, g_g, atol=2e-5), float(jnp.abs(g_b - g_g).max())
     assert jnp.allclose(l_b, l_g, atol=2e-5)
+
+
+def test_device_ingest_u8_equivalence():
+    """uint8 device-ingest ([B,N,H,W,3] raw frames, on-device normalize in
+    PatchEmbed3D) matches the host-normalized fp32 path for the same
+    pixels and params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpretrain_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, normalize
+    from xpretrain_tpu.models.lf_vila.swin3d import Swin3DConfig, SwinTransformer3D
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(2, 8, 48, 80, 3), dtype=np.uint8)
+    # host path: per-item normalize to [N,3,H,W] then [B,3,N,H,W]
+    f32 = np.stack([normalize(item, IMAGENET_MEAN, IMAGENET_STD) for item in u8])
+    f32 = f32.transpose(0, 2, 1, 3, 4)
+
+    model = SwinTransformer3D(Swin3DConfig.tiny())
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(f32))
+    g_f, l_f = model.apply(params, jnp.asarray(f32))
+    g_u, l_u = model.apply(params, jnp.asarray(u8))
+    assert g_u.shape == g_f.shape and l_u.shape == l_f.shape
+    assert jnp.allclose(g_f, g_u, atol=2e-5), float(jnp.abs(g_f - g_u).max())
+    assert jnp.allclose(l_f, l_u, atol=2e-5)
+
+
+def test_device_ingest_dataset_ships_u8():
+    """device_ingest=True: the dataset returns raw uint8 [N,H,W,3] and the
+    collator stacks it without the f32 cast (4x fewer batch bytes)."""
+    from xpretrain_tpu.data.datasets_lfvila import (
+        LfVilaPretrainCollator,
+        LfVilaPretrainDataset,
+    )
+    from xpretrain_tpu.data.tokenization import HashTokenizer
+
+    records = [
+        {"clips": ["a", "b"], "sentences": ["x", "y"]} for _ in range(4)
+    ]
+    ds = LfVilaPretrainDataset(
+        records, None, sample_frame=8, sample_clip=2, input_hw=(32, 48),
+        train=True, seed=0, synthetic=True, device_ingest=True,
+    )
+    items = [ds[i] for i in range(2)]
+    assert items[0]["video_frames"].dtype == np.uint8
+    assert items[0]["video_frames"].shape == (8, 32, 48, 3)
+    batch = LfVilaPretrainCollator(HashTokenizer(vocab_size=100), max_sent_len=8, mlm=False)(items)
+    assert batch["video_frames"].dtype == np.uint8
+    f32_ds = LfVilaPretrainDataset(
+        records, None, sample_frame=8, sample_clip=2, input_hw=(32, 48),
+        train=True, seed=0, synthetic=True,
+    )
+    f32_batch = LfVilaPretrainCollator(HashTokenizer(vocab_size=100), max_sent_len=8, mlm=False)(
+        [f32_ds[i] for i in range(2)]
+    )
+    assert f32_batch["video_frames"].dtype == np.float32
+    assert batch["video_frames"].nbytes * 4 == f32_batch["video_frames"].nbytes

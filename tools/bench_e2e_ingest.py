@@ -197,6 +197,7 @@ def lfvila_pipeline(root: str, tiny: bool, n_videos: int):
     ds = LfVilaPretrainDataset(
         records, FrameSource(root), sample_frame=sample_frame,
         sample_clip=sample_clip, input_hw=hw, train=True, seed=0,
+        device_ingest=True,  # u8 collate + on-device normalize (production)
     )
     collate = LfVilaPretrainCollator(
         HashTokenizer(vocab_size=1000), max_sent_len=12, mlm=False
@@ -377,7 +378,8 @@ def measure_coupled(pipe, workers: int, n_steps: int) -> dict:
     }
 
 
-def pack_corpus(video_root: str, packed_root: str, height: int = 0) -> float:
+def pack_corpus(video_root: str, packed_root: str, height: int = 0,
+                hw=None) -> float:
     """Pre-decode every corpus video into the packed npy frame store
     (``tools/decode_frames.py --format npy``, the offline-decode production
     path PERF.md prescribes). Returns the one-off pack wall time."""
@@ -388,7 +390,12 @@ def pack_corpus(video_root: str, packed_root: str, height: int = 0) -> float:
         "--video_root", video_root, "--out_root", packed_root,
         "--format", "npy", "--fps", "1000",  # step=max(fps/1000,1): every frame
     ]
-    if height:
+    if hw:
+        # pack at the training transform's exact resize target: the loader's
+        # resize short-circuits to identity and the per-item transform
+        # degenerates to an mmap crop slice
+        args += ["--size", str(hw[0]), str(hw[1])]
+    elif height:
         # production stores pack at (near-)training resolution so the
         # per-item transform degenerates to a crop slice
         args += ["--height", str(height)]
@@ -407,7 +414,8 @@ def run_family(name: str, args) -> dict:
             # the npy store; the loader then reads mmap'd frames (FrameSource
             # npy branch) instead of decoding video per item.
             packed_root = os.path.join(root, "_packed")
-            pack_s = pack_corpus(root, packed_root, args.pack_height)
+            pack_s = pack_corpus(root, packed_root, args.pack_height,
+                                 hw=args.pack_hw)
             root = packed_root
         pipe = PIPELINES[name](root, args.tiny, corpus["n_videos"])
         out = {"family": name, "batch": pipe["batch"], "codec": args.codec,
@@ -434,6 +442,10 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny models (CPU test mode)")
     ap.add_argument("--pack_height", type=int, default=0,
                     help="pre-resize frames to this height in the packed store")
+    ap.add_argument("--pack_hw", type=int, nargs=2, default=None, metavar=("H", "W"),
+                    help="pack frames at this exact (H, W) — the training "
+                         "transform's resize target, so its resize becomes "
+                         "identity")
     ap.add_argument("--packed", action="store_true",
                     help="pre-decode the corpus to the npy frame store and "
                          "feed the train step from mmap'd frames (the "

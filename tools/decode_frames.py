@@ -25,7 +25,7 @@ VIDEO_EXTS = (".mp4", ".webm", ".mkv", ".avi", ".mov", ".gif")
 
 
 def dump_video(src: str, out_dir_or_file: str, fps: float | None, num_frames: int | None,
-               fmt: str, height: int) -> int:
+               fmt: str, height: int, size=None) -> int:
     info = probe(src)
     if num_frames:
         idx = np.linspace(0, max(info.num_frames - 1, 0), num_frames).astype(np.int64)
@@ -33,7 +33,11 @@ def dump_video(src: str, out_dir_or_file: str, fps: float | None, num_frames: in
         step = max(info.fps / (fps or 1.0), 1.0)
         idx = np.arange(0, info.num_frames, step).astype(np.int64)
     out_hw = None
-    if height > 0 and info.height:
+    if size:
+        # exact (H, W) — pack at the training transform's resize target so
+        # the loader's resize short-circuits to identity (PERF.md)
+        out_hw = (int(size[0]), int(size[1]))
+    elif height > 0 and info.height:
         out_hw = (height, int(info.width * height / info.height) // 2 * 2)
     frames = read_frames(src, idx, out_hw=out_hw)
     if fmt == "npy":
@@ -59,6 +63,9 @@ def main(argv=None):
     p.add_argument("--num_frames", type=int, default=0)
     p.add_argument("--format", choices=["jpg", "npy"], default="jpg")
     p.add_argument("--height", type=int, default=0)
+    p.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"),
+                   help="exact output (H, W) — pack at the training "
+                        "transform's resize target")
     args = p.parse_args(argv)
     total = 0
     for dirpath, _dirs, files in os.walk(args.video_root):
@@ -69,7 +76,7 @@ def main(argv=None):
             rel = os.path.splitext(os.path.relpath(src, args.video_root))[0]
             out = os.path.join(args.out_root, rel)
             total += dump_video(src, out, args.fps or None, args.num_frames or None,
-                                args.format, args.height)
+                                args.format, args.height, size=args.size)
     print(f"dumped {total} frames")
 
 

@@ -124,16 +124,22 @@ def main(argv=None):
     mlm = model_cfg.stage == 2
     collate = LfVilaPretrainCollator(tok, max_sent_len=int(cfg.get("max_txt_len", 50)), mlm=mlm)
     pi, pc = jax.process_index(), jax.process_count()
+    # uint8 device-ingest (config key "device_ingest": 0 disables): the host
+    # ships raw [N,H,W,3] frames; PatchEmbed3D normalizes on device (fused
+    # into the patchify conv). 4x less collate/H2D bytes — PERF.md
+    # packed-feed section.
+    device_ingest = bool(cfg.get("device_ingest", 1))
     if cfg.get("dummy_data"):
         ds = LfVilaPretrainDataset(
             [{} for _ in range(1024)], None, cfg.sample_frame, cfg.sample_clip,
             tuple(cfg.input_hw), synthetic=True, seed=cfg.seed,
+            device_ingest=device_ingest,
         )
     else:
         records = load_jsonl(cfg.train_annotation)
         ds = LfVilaPretrainDataset(
             records, FrameSource(cfg.video_root), cfg.sample_frame, cfg.sample_clip,
-            tuple(cfg.input_hw), seed=cfg.seed,
+            tuple(cfg.input_hw), seed=cfg.seed, device_ingest=device_ingest,
         )
     loader = InfiniteIterator(
         BatchLoader(ds, cfg.train_batch_size, collate, seed=cfg.seed,

@@ -50,6 +50,7 @@ class LfVilaPretrainDataset:
         seed: int = 0,
         max_retries: int = 10,
         synthetic: bool = False,
+        device_ingest: bool = False,
     ):
         self.records = records
         self.source = frame_source
@@ -60,6 +61,10 @@ class LfVilaPretrainDataset:
         self.seed = seed
         self.max_retries = max_retries
         self.synthetic = synthetic
+        # ship raw uint8 [N, H, W, 3] and let PatchEmbed3D normalize on
+        # device (4x less collate/H2D bytes, no host f32 pass) — the
+        # packed-feed production path, PERF.md
+        self.device_ingest = device_ingest
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -97,6 +102,12 @@ class LfVilaPretrainDataset:
             frames = random_crop(frames, (h, w), rng)
         else:
             frames = center_crop(frames, (h, w))
+        if self.device_ingest:
+            return {
+                "id": index,
+                "video_frames": np.ascontiguousarray(frames),  # u8 [N, H, W, 3]
+                "sentences": sentences,
+            }
         pixels = normalize(frames, IMAGENET_MEAN, IMAGENET_STD)  # [N, 3, H, W]
         return {
             "id": index,
@@ -132,8 +143,11 @@ class LfVilaPretrainCollator:
         ids, mask = self.tokenizer(flat, self.max_sent_len)
         ids = ids.reshape(B, M, self.max_sent_len)
         mask = mask.reshape(B, M, self.max_sent_len)
+        vf = np.stack([it["video_frames"] for it in items])
+        if vf.dtype != np.uint8:  # device-ingest ships u8 straight through
+            vf = vf.astype(np.float32)
         batch = {
-            "video_frames": np.stack([it["video_frames"] for it in items]).astype(np.float32),
+            "video_frames": vf,
             "text_ids": ids,
             "attention_mask": mask,
         }

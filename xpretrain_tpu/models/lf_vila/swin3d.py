@@ -447,17 +447,39 @@ class PatchMerging(nn.Module):
 
 
 class PatchEmbed3D(nn.Module):
-    """Conv3D video patchify (ref ``:409-448``)."""
+    """Conv3D video patchify (ref ``:409-448``).
+
+    Two input paths (same params, same numerics):
+
+    - fp32 ``[B, C, D, H, W]`` frames, normalized host-side (the reference
+      data path);
+    - raw uint8 ``[B, D, H, W, 3]`` frames (device-ingest): the /255 +
+      mean/std normalization runs ON DEVICE in f32 — XLA fuses the
+      elementwise producer into the patchify conv, so it costs no extra
+      HBM round-trip, while the host ships 4x fewer bytes and skips its
+      f32 normalize+transpose pass entirely (PERF.md packed-feed section).
+    """
 
     patch_size: tuple
     embed_dim: int
     patch_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    # ImageNet statistics (transforms.IMAGENET_MEAN/STD), the constants the
+    # reference bakes into its host-side transform
+    norm_mean: tuple = (0.485, 0.456, 0.406)
+    norm_std: tuple = (0.229, 0.224, 0.225)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        # x: [B, C, D, H, W] -> NDHWC for flax Conv
-        x = x.transpose(0, 2, 3, 4, 1)
+        if x.dtype == jnp.uint8:
+            # [B, D, H, W, 3] raw frames: normalize on device in f32
+            # (bit-matching the host transforms.normalize), already NDHWC
+            mean = jnp.asarray(self.norm_mean, jnp.float32)
+            std = jnp.asarray(self.norm_std, jnp.float32)
+            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+        else:
+            # x: [B, C, D, H, W] -> NDHWC for flax Conv
+            x = x.transpose(0, 2, 3, 4, 1)
         pd, ph, pw = self.patch_size
         B, D, H, W, C = x.shape
         pad = ((0, 0), (0, (-D) % pd), (0, (-H) % ph), (0, (-W) % pw), (0, 0))
